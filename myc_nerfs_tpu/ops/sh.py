@@ -1,0 +1,78 @@
+"""Real spherical-harmonics bases (degree 0-4), pure XLA.
+
+TPU-native re-implementation of:
+- tensorf-myc/models/sh.py:88-134 (``eval_sh_bases``: (deg+1)^2 components)
+- tensorf-myc/models/sh.py:35-86 (``eval_sh``: contraction with coefficients)
+- jnerf-myc .../sh_encoder/sh_encoder.py + op_header/SphericalEncode.h
+  (tcnn-style direction encoding: ``degree``^2 components, zero-padded to a
+  lane-friendly width). This is elementwise polynomial math — no kernel
+  needed (SURVEY.md §2 checklist item 2).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["eval_sh_bases", "eval_sh", "sh_encode"]
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+      -1.0925484305920792, 0.5462742152960396]
+C3 = [-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+      0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+      -0.5900435899266435]
+C4 = [2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+      -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+      0.47308734787878004, -1.7701307697799304, 0.6258357354491761]
+
+
+def eval_sh_bases(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """SH bases at unit dirs [..., 3] -> [..., (deg+1)^2]. Ref: sh.py:88-134."""
+    assert 0 <= deg <= 4
+    comps = [jnp.full(dirs.shape[:-1], C0, dirs.dtype)]
+    if deg > 0:
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        comps += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            comps += [C2[0] * xy, C2[1] * yz, C2[2] * (2.0 * zz - xx - yy),
+                      C2[3] * xz, C2[4] * (xx - yy)]
+            if deg > 2:
+                comps += [C3[0] * y * (3 * xx - yy), C3[1] * xy * z,
+                          C3[2] * y * (4 * zz - xx - yy),
+                          C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                          C3[4] * x * (4 * zz - xx - yy), C3[5] * z * (xx - yy),
+                          C3[6] * x * (xx - 3 * yy)]
+                if deg > 3:
+                    comps += [C4[0] * xy * (xx - yy), C4[1] * yz * (3 * xx - yy),
+                              C4[2] * xy * (7 * zz - 1), C4[3] * yz * (7 * zz - 3),
+                              C4[4] * (zz * (35 * zz - 30) + 3),
+                              C4[5] * xz * (7 * zz - 3),
+                              C4[6] * (xx - yy) * (7 * zz - 1),
+                              C4[7] * xz * (xx - 3 * yy),
+                              C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy))]
+    return jnp.stack(comps, axis=-1)
+
+
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Contract SH coefficients sh [..., C, (deg+1)^2] with bases at dirs.
+
+    Ref: sh.py:35-86.
+    """
+    bases = eval_sh_bases(deg, dirs)  # [..., (deg+1)^2]
+    return (sh * bases[..., None, :]).sum(-1)
+
+
+def sh_encode(dirs: jnp.ndarray, degree: int = 4, pad_to: int | None = 16) -> jnp.ndarray:
+    """NGP direction encoding: degree^2 SH components, zero-padded.
+
+    ``dirs`` are unit vectors (the reference kernel maps [0,1]-warped dirs to
+    [-1,1] first; callers here pass true unit dirs). degree=4 -> 16 comps,
+    matching jnerf's SHEncoder output width (sh_encoder.py:10-56).
+    """
+    out = eval_sh_bases(degree - 1, dirs)
+    if pad_to is not None and out.shape[-1] < pad_to:
+        pad = pad_to - out.shape[-1]
+        out = jnp.concatenate([out, jnp.zeros(out.shape[:-1] + (pad,), out.dtype)], axis=-1)
+    return out
