@@ -1,0 +1,221 @@
+"""TensoRF family tests: factors, staged training, NeRF++, Ref-NeRF."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myc_nerfs_tpu.data.synthetic import make_scene
+from myc_nerfs_tpu.models import nerfpp, ref_tensorf, tensorf as tf
+from myc_nerfs_tpu.train import tensorf_trainer as tt
+from myc_nerfs_tpu.utils.metrics import psnr
+
+AABB = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]])
+
+
+def small_cfg(**kw):
+    base = dict(density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+                featureC=32, near_far=(1.5, 4.5), distance_scale=25.0,
+                density_shift=-5.0, shading_mode="MLP_Fea")
+    base.update(kw)
+    return tf.TensoRFConfig(**base)
+
+
+class TestFactors:
+    def test_vm_density_feature_separable(self):
+        """A rank-1 constructed factor must reproduce its outer product."""
+        cfg = small_cfg(density_n_comp=(1, 1, 1))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (9, 9, 9))
+        # plane_0 covers (x, y); line_0 covers z — set plane=1, line=linear in z
+        params["density_plane"] = tuple(jnp.ones_like(p) for p in params["density_plane"])
+        params["density_line"] = tuple(jnp.linspace(0, 1, 9)[None, :] for _ in range(3))
+        xyz = jnp.array([[0.0, 0.0, 1.0]])  # z at +1 -> line value 1 on all axes
+        f = tf.compute_density_feature(cfg, params, xyz)
+        # each of 3 plane/line products contributes line(coord)=...
+        # axis order VEC_MODE=(2,1,0): coords z=1->1.0, y=0->0.5, x=0->0.5
+        np.testing.assert_allclose(float(f[0]), 1.0 + 0.5 + 0.5, atol=1e-5)
+
+    def test_cp_decomp_runs(self):
+        cfg = small_cfg(decomp="cp", density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (9, 9, 9))
+        xyz = jax.random.uniform(jax.random.PRNGKey(1), (17, 3), minval=-1, maxval=1)
+        f = tf.compute_density_feature(cfg, params, xyz)
+        a = tf.compute_app_feature(cfg, params, xyz)
+        assert f.shape == (17,) and a.shape == (17, 12)
+
+    def test_upsample_preserves_function(self):
+        """Bilinear upsample must keep grid values at matching coords."""
+        cfg = small_cfg()
+        params, _ = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        xyz = jax.random.uniform(jax.random.PRNGKey(1), (32, 3), minval=-1, maxval=1)
+        before = tf.compute_density_feature(cfg, params, xyz)
+        up = tf.upsample_volume_grid(cfg, params, (15, 15, 15))
+        after = tf.compute_density_feature(cfg, up, xyz)
+        # 8->15 doubles resolution with aligned corners: lerp is exact at old
+        # knots, close elsewhere
+        np.testing.assert_allclose(np.asarray(before), np.asarray(after), atol=0.2)
+        corners = jnp.array([[-1.0, -1, -1], [1, 1, 1], [-1, 1, -1]])
+        np.testing.assert_allclose(
+            np.asarray(tf.compute_density_feature(cfg, params, corners)),
+            np.asarray(tf.compute_density_feature(cfg, up, corners)), atol=1e-4)
+
+    def test_shrink_slices_grid(self):
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (10, 10, 10))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (10, 10, 10))
+        new_aabb = np.array([[-0.8, -0.8, -0.8], [0.8, 0.8, 0.8]])
+        p2, b2, new_size = tf.shrink(cfg, geom, params, buffers, new_aabb)
+        assert all(s <= 10 for s in new_size) and all(s >= 5 for s in new_size)
+        assert p2["density_plane"][0].shape[1:] == (new_size[tf.MAT_MODE[0][1]],
+                                                    new_size[tf.MAT_MODE[0][0]])
+
+    def test_regularizers_finite(self):
+        cfg = small_cfg()
+        params, _ = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        for val in (tf.vector_comp_diffs(params), tf.density_L1(cfg, params),
+                    tf.tv_loss_density(cfg, params), tf.tv_loss_app(cfg, params)):
+            assert np.isfinite(float(val)) and float(val) >= 0
+
+    def test_alpha_mask_roundtrip(self):
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (8, 8, 8))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        new_buffers, new_aabb = tf.update_alpha_mask(cfg, geom, params, buffers,
+                                                     (16, 16, 16))
+        assert new_buffers["alpha_volume"].shape == (16, 16, 16)
+        # sampling the mask anywhere returns finite 0/1
+        v = tf.sample_alpha_mask(new_buffers["alpha_volume"],
+                                 new_buffers["alpha_aabb"],
+                                 jnp.zeros((5, 3)))
+        assert np.isfinite(np.asarray(v)).all()
+
+
+@pytest.mark.slow
+class TestTensoRFTrain:
+    def test_staged_overfit(self):
+        scene = make_scene(n_views=10, H=20, W=20)
+        idx = jnp.array([i for i in range(10) if i != 5])
+        rays = tt.build_ray_store(scene.poses[idx], scene.intr[idx], 20, 20)
+        rgbs = scene.images[idx].reshape(-1, 3)
+        cfg = tt.TensoRFTrainConfig(
+            n_iters=500, batch_size=1024, n_voxel_init=16**3, n_voxel_final=32**3,
+            upsamp_list=(200, 400), update_alphamask_list=(300,),
+            l1_weight_initial=8e-5, l1_weight_rest=4e-5,
+            alpha_mask_reso_cap=48, n_samples_cap=64)
+        trainer = tt.TensoRFTrainer(small_cfg(), cfg, AABB, jax.random.PRNGKey(0))
+        m = trainer.train(rays, rgbs)
+        assert float(m["psnr"]) > 28.0, f"train psnr {float(m['psnr'])}"
+        val_rays = tt.build_ray_store(scene.poses[5:6], scene.intr[5:6], 20, 20)
+        rgb, _ = trainer.render_rays(val_rays, chunk=400)
+        val = float(psnr(rgb.reshape(20, 20, 3), scene.images[5]))
+        assert val > 14.0, f"val psnr {val}"
+
+
+class TestNerfPP:
+    def test_forward_shapes_and_gating(self):
+        cfg = small_cfg()
+        pp = nerfpp.NerfPPConfig(radii=6.0, bg_samples=32)
+        geom = tf.compute_stage_geom(cfg, AABB, (8, 8, 8), n_samples_cap=16)
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        params["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(1), pp)
+        rays = jnp.concatenate([jnp.zeros((7, 3)),
+                                jax.random.normal(jax.random.PRNGKey(2), (7, 3))], -1)
+        rays = rays.at[:, 3:].set(rays[:, 3:] / jnp.linalg.norm(rays[:, 3:], axis=-1, keepdims=True))
+        out = nerfpp.nerfpp_forward(cfg, pp, geom, params, buffers, rays,
+                                    key=jax.random.PRNGKey(3))
+        assert out.rgb_map.shape == (7, 3)
+        assert np.isfinite(np.asarray(out.rgb_map)).all()
+        # untrained fg is near-transparent -> bg_lambda ~1 -> bg contributes
+        assert float(out.bg_weight.min()) > 0.5
+
+    def test_intersect_sphere(self):
+        o = jnp.array([[0.0, 0.0, 0.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        t = nerfpp.intersect_sphere(o, d, 4.0)  # radius 2 squared
+        np.testing.assert_allclose(float(t[0]), 2.0, atol=1e-5)
+
+    def test_depth2pts_outside_on_sphere(self):
+        o = jnp.array([[0.0, 0.0, 0.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        # depth == radii -> point stays at sphere intersection with 1/r = radii
+        pts, depth_real = nerfpp.depth2pts_outside(o, d, jnp.array([[3.0]]), 3.0)
+        np.testing.assert_allclose(np.asarray(pts[0, 0, :3]), [0, 0, 3.0], atol=1e-4)
+
+    def test_bg_gradients_flow(self):
+        cfg = small_cfg()
+        pp = nerfpp.NerfPPConfig(radii=6.0, bg_samples=16)
+        geom = tf.compute_stage_geom(cfg, AABB, (8, 8, 8), n_samples_cap=8)
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        params["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(1), pp)
+        rays = jnp.concatenate([jnp.zeros((4, 3)), jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1))], -1)
+
+        def loss(p):
+            out = nerfpp.nerfpp_forward(cfg, pp, geom, p, buffers, rays)
+            return (out.rgb_map**2).sum()
+
+        g = jax.grad(loss)(params)
+        gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["bg_net"]))
+        assert gnorm > 0
+
+
+class TestRefTensoRF:
+    def test_forward_and_penalty(self):
+        cfg = small_cfg(shading_mode="MLP_Fea")
+        geom = tf.compute_stage_geom(cfg, AABB, (8, 8, 8), n_samples_cap=16)
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1), cfg, params)
+        rays = jnp.concatenate([jnp.full((5, 3), -2.0),
+                                jnp.tile(jnp.array([[0.577, 0.577, 0.577]]), (5, 1))], -1)
+        out = ref_tensorf.ref_tensorf_forward(cfg, geom, params, buffers, rays)
+        assert out.rgb_map.shape == (5, 3)
+        assert np.isfinite(float(out.extras["penalty"]))
+        # normals are unit where defined
+        n = np.asarray(out.extras["normal"])
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)
+
+    def test_sh_variant_runs(self):
+        cfg = small_cfg(shading_mode="SH", view_pe=3)
+        geom = tf.compute_stage_geom(cfg, AABB, (8, 8, 8), n_samples_cap=8)
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB, (8, 8, 8))
+        # SH shading_mode skips the MLP in init_tensorf; Ref variant needs one
+        params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1), cfg, params)
+        rays = jnp.concatenate([jnp.full((3, 3), -2.0),
+                                jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (3, 1))], -1)
+        out = ref_tensorf.ref_tensorf_forward(cfg, geom, params, buffers, rays)
+        assert np.isfinite(np.asarray(out.rgb_map)).all()
+
+    def test_penalty_in_trainer(self):
+        """Ref penalty plugs into the trainer via extra_loss_fn."""
+        scene = make_scene(n_views=4, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)
+        rgbs = scene.images.reshape(-1, 3)
+        cfg_m = small_cfg()
+        cfg_t = tt.TensoRFTrainConfig(n_iters=5, batch_size=64,
+                                      n_voxel_init=8**3, n_voxel_final=8**3,
+                                      upsamp_list=(), update_alphamask_list=(),
+                                      n_samples_cap=8)
+        trainer = tt.TensoRFTrainer(cfg_m, cfg_t, AABB, jax.random.PRNGKey(0))
+        trainer.params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1), cfg_m,
+                                                    trainer.params)
+        mlp_apply = ref_tensorf.make_ref_mlp(cfg_m).apply
+
+        # swap the step to use the ref forward
+        import optax
+        tx, lr_factor = tt.make_optimizer(cfg_t, trainer.params)
+        opt_state = tx.init(trainer.params)
+
+        @jax.jit
+        def step(params, opt_state, r, c, key):
+            def loss_fn(p):
+                out = ref_tensorf.ref_tensorf_forward(cfg_m, trainer.geom, p,
+                                                      trainer.buffers, r, key,
+                                                      mlp_apply=mlp_apply)
+                return jnp.mean((out.rgb_map - c) ** 2) + 0.5 * out.extras["penalty"]
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt_state2 = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, up), opt_state2, loss
+
+        p, s, l0 = step(trainer.params, opt_state, rays[:64], rgbs[:64],
+                        jax.random.PRNGKey(2))
+        for _ in range(4):
+            p, s, l = step(p, s, rays[:64], rgbs[:64], jax.random.PRNGKey(3))
+        assert np.isfinite(float(l))
