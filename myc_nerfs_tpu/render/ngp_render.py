@@ -1,0 +1,160 @@
+"""NGP ray marching + rendering: static-shape, occupancy-gated, TPU-first.
+
+Re-implements the jnerf-myc CUDA march/composite pipeline (RaySampler
+op_header/ray_sampler.h:4-114, CompactedCoord op_header/compacted_coord.h,
+CalcRgb calc_rgb.o/calc_rgb.h) with the XLA-native design from SURVEY.md §7.3:
+
+- The reference's per-thread DDA march with atomic sample offsets and a host
+  sync (ray_sampler.py:70) becomes a **two-pass static-shape march**:
+  1. a cheap coarse pass probes the occupancy bitfield at n_coarse uniform
+     t's inside the ray/AABB intersection and finds the per-ray occupied
+     span [t_lo, t_hi];
+  2. n_samples fine samples are placed uniformly inside that span, each
+     validity-masked by the bitfield.
+  Work is bounded, not skipped; there are no host round-trips.
+- Dynamic compaction (atomics + .item() sync) becomes the validity mask +
+  transmittance early-termination mask in composite_weights.
+- CalcRgb's analytic custom VJP is XLA autodiff of the same scan.
+
+Positions are warped to [0, 1] over the cascade AABB (warp_position,
+ray_sampler_header.h:790-796); directions warped to [0, 1]
+(warp_direction, :819-822) to match the reference's network inputs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .composite import composite_rgb, composite_weights
+from .occupancy import OccupancyConfig, OccupancyState, mip_from_pos, occupied_at
+
+
+@dataclasses.dataclass(frozen=True)
+class NGPRenderConfig:
+    aabb_scale: int = 1
+    n_coarse: int = 512          # occupancy probes per ray (pass 1)
+    n_samples: int = 64          # MLP samples per ray (pass 2)
+    near_distance: float = 0.2   # configs/Easyship.py:91
+    cone_angle_constant: float = 0.00390625
+    const_dt: bool = True
+    early_stop_eps: float = 1e-4
+
+    @property
+    def aabb(self) -> Tuple[float, float]:
+        s = self.aabb_scale
+        return (0.5 - s / 2.0, 0.5 + s / 2.0)
+
+
+class MarchedRays(NamedTuple):
+    positions: jnp.ndarray  # [N, K, 3] warped to [0, 1]
+    dirs: jnp.ndarray       # [N, K, 3] warped to [0, 1]
+    dt: jnp.ndarray         # [N, K] metric step sizes
+    t: jnp.ndarray          # [N, K] metric depths
+    valid: jnp.ndarray      # [N, K] bool
+
+
+def ray_aabb_range(rcfg: NGPRenderConfig, rays_o: jnp.ndarray,
+                   rays_d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Entry/exit t of the cascade AABB (BoundingBox.ray_intersect)."""
+    lo, hi = rcfg.aabb
+    inv = 1.0 / jnp.where(rays_d == 0, 1e-10, rays_d)
+    t1 = (lo - rays_o) * inv
+    t2 = (hi - rays_o) * inv
+    tmin = jnp.minimum(t1, t2).max(-1)
+    tmax = jnp.maximum(t1, t2).min(-1)
+    tmin = jnp.maximum(tmin, rcfg.near_distance)
+    tmax = jnp.maximum(tmax, tmin)
+    return tmin, tmax
+
+
+def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
+               bitfield: jnp.ndarray, rays_o: jnp.ndarray,
+               rays_d: jnp.ndarray, key: Optional[jax.Array] = None
+               ) -> MarchedRays:
+    """Two-pass occupancy-gated march (replaces rays_sampler, ray_sampler.h)."""
+    N = rays_o.shape[0]
+    tmin, tmax = ray_aabb_range(rcfg, rays_o, rays_d)
+    span = tmax - tmin
+
+    # --- pass 1: coarse occupancy probe
+    Mc = rcfg.n_coarse
+    frac = (jnp.arange(Mc, dtype=jnp.float32) + 0.5) / Mc
+    tc = tmin[:, None] + span[:, None] * frac[None, :]
+    pos_c = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
+    mip = mip_from_pos(occ_cfg, pos_c)
+    occ_c = occupied_at(occ_cfg, bitfield, pos_c, mip)
+    big = jnp.float32(1e10)
+    t_lo = jnp.min(jnp.where(occ_c, tc, big), axis=1)
+    t_hi = jnp.max(jnp.where(occ_c, tc, -big), axis=1)
+    any_occ = occ_c.any(axis=1)
+    coarse_dt = span / Mc
+    t_lo = jnp.where(any_occ, jnp.maximum(t_lo - coarse_dt, tmin), tmin)
+    t_hi = jnp.where(any_occ, jnp.minimum(t_hi + coarse_dt, tmax), tmin)
+
+    # --- pass 2: fine samples inside the occupied span
+    K = rcfg.n_samples
+    dt = (t_hi - t_lo) / K
+    offs = jnp.arange(K, dtype=jnp.float32)[None, :]
+    if key is not None:
+        offs = offs + jax.random.uniform(key, (N, 1))
+    else:
+        offs = offs + 0.5
+    t = t_lo[:, None] + dt[:, None] * offs
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    mip_f = mip_from_pos(occ_cfg, pos)
+    occ_f = occupied_at(occ_cfg, bitfield, pos, mip_f)
+    lo, hi = rcfg.aabb
+    inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
+    valid = occ_f & inbox & any_occ[:, None]
+
+    extent = hi - lo
+    warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)
+    warped_dir = (rays_d[:, None, :] + 1.0) * 0.5
+    warped_dir = jnp.broadcast_to(warped_dir, pos.shape)
+    dt_full = jnp.broadcast_to(dt[:, None], t.shape)
+    return MarchedRays(positions=warped_pos, dirs=warped_dir, dt=dt_full,
+                       t=t, valid=valid)
+
+
+class NGPRenderOut(NamedTuple):
+    rgb: jnp.ndarray        # [N, 3]
+    depth: jnp.ndarray      # [N]
+    opacity: jnp.ndarray    # [N]
+    n_samples: jnp.ndarray  # scalar: total valid samples (for batch adapt)
+
+
+def render_marched(model_apply, params, marched: MarchedRays,
+                   bg_color: jnp.ndarray,
+                   early_stop_eps: float = 1e-4) -> NGPRenderOut:
+    """Evaluate the field on marched samples and composite (CalcRgb fwd).
+
+    ``model_apply(params, positions [M, 3], dirs [M, 3]) -> raw [M, 4]``
+    with raw rgb (sigmoid later) + raw density (exp later), matching
+    jnerf's NGPNetworks output contract.
+    """
+    N, K, _ = marched.positions.shape
+    raw = model_apply(params, marched.positions.reshape(-1, 3),
+                      marched.dirs.reshape(-1, 3)).reshape(N, K, 4)
+    sigma = jnp.exp(raw[..., 3])
+    rgb_s = jax.nn.sigmoid(raw[..., :3])
+    weights, t_left = composite_weights(sigma, marched.dt, marched.valid,
+                                        early_stop_eps)
+    rgb = composite_rgb(rgb_s, weights, t_left, bg_color)
+    depth = (weights * marched.t).sum(-1)
+    return NGPRenderOut(rgb=rgb, depth=depth, opacity=1.0 - t_left[..., 0],
+                        n_samples=marched.valid.sum())
+
+
+def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
+                    model_apply, params, occ_state: OccupancyState,
+                    rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                    bg_color: jnp.ndarray,
+                    key: Optional[jax.Array] = None) -> NGPRenderOut:
+    """Full path: march + field + composite (DensityGridSampler.sample +
+    rays2rgb, density_grid_sampler.py:133-193)."""
+    marched = march_rays(occ_cfg, rcfg, occ_state.bitfield, rays_o, rays_d, key)
+    return render_marched(model_apply, params, marched, bg_color,
+                          rcfg.early_stop_eps)

@@ -1,0 +1,244 @@
+"""Instant-NGP stack tests: hash grid, occupancy, marcher, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myc_nerfs_tpu.data.synthetic import make_scene
+from myc_nerfs_tpu.geom import rays as rays_lib
+from myc_nerfs_tpu.models import ngp
+from myc_nerfs_tpu.render import occupancy as occ
+from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, march_rays, ray_aabb_range
+from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig, NGPTrainer,
+                                             huber_loss, make_lr_schedule)
+from myc_nerfs_tpu.utils.metrics import psnr
+
+
+class TestHashGrid:
+    def test_level_geometry_matches_reference_math(self):
+        """Level scales/offsets reproduce grid_encode.py:18-46 exactly."""
+        cfg = ngp.HashGridConfig(aabb_scale=1)
+        lv = ngp.compute_levels(cfg)
+        # base level: scale = 16 - 1 = 15, res = 16, params = round8(4096)
+        assert lv.resolutions[0] == 16
+        assert lv.hashmap_sizes[0] == 4096
+        assert lv.offsets[0] == 0
+        # top level: res ~ 2048, capped at 2^19
+        assert lv.resolutions[-1] >= 2048
+        assert lv.hashmap_sizes[-1] == 1 << 19
+        assert not lv.dense[-1] and lv.dense[0]
+
+    def test_dense_level_interpolates_exactly(self):
+        """On a dense level, encode must equal trilinear interpolation."""
+        cfg = ngp.HashGridConfig(n_levels=1, base_resolution=4,
+                                 desired_resolution=4.0, n_features=1)
+        levels = ngp.compute_levels(cfg)
+        assert levels.dense[0] and levels.resolutions[0] == 4
+        # table value = x-index so interp of position is linear in x
+        res = 4
+        vals = np.zeros((levels.n_params, 1), np.float32)
+        for x in range(res):
+            for y in range(res):
+                for z in range(res):
+                    vals[x + y * res + z * res * res] = x
+        table = jnp.asarray(vals)
+        # scale = 3; pos*3 + 0.5 -> at pos p, continuous x-index = 3p + 0.5
+        pos = jnp.array([[0.5, 0.2, 0.7], [0.0, 0.0, 0.0], [0.3, 0.9, 0.1]])
+        out = ngp.hash_encode(table, pos, cfg, levels)
+        np.testing.assert_allclose(np.asarray(out[:, 0]),
+                                   np.asarray(pos[:, 0]) * 3.0 + 0.5, atol=1e-5)
+
+    def test_gradients_scatter_to_table(self):
+        cfg = ngp.HashGridConfig(n_levels=4, desired_resolution=128.0)
+        levels = ngp.compute_levels(cfg)
+        table = ngp.init_hash_table(jax.random.PRNGKey(0), cfg, levels)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (16, 3))
+
+        g = jax.grad(lambda t: ngp.hash_encode(t, pos, cfg, levels).sum())(table)
+        assert float(jnp.abs(g).sum()) > 0
+        # only gathered rows receive gradient
+        touched = (jnp.abs(g).sum(-1) > 0).sum()
+        assert int(touched) <= 16 * 8 * 4
+
+    def test_encode_shape_and_jit(self):
+        cfg = ngp.HashGridConfig()
+        levels = ngp.compute_levels(cfg)
+        table = ngp.init_hash_table(jax.random.PRNGKey(0), cfg, levels)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (7, 3))
+        out = jax.jit(lambda t, p: ngp.hash_encode(t, p, cfg, levels))(table, pos)
+        assert out.shape == (7, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_model_apply(self):
+        model = ngp.NGPModel(ngp.NGPModelConfig(
+            grid=ngp.HashGridConfig(n_levels=4, desired_resolution=64.0)))
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.full((5, 3), 0.5), jnp.full((5, 3), 0.5))
+        assert out.shape == (5, 4)
+        d = model.density_raw(params, jnp.full((5, 3), 0.5))
+        assert d.shape == (5, 1)
+
+
+class TestOccupancy:
+    def cfg(self, G=32, C=3):
+        return occ.OccupancyConfig(grid_size=G, n_cascades=C, max_cascade=1)
+
+    def test_bitfield_threshold_and_mean(self):
+        cfg = self.cfg()
+        grid = jnp.zeros((3, 32, 32, 32)).at[0, 1, 2, 3].set(5.0)
+        bits, mean = occ.update_bitfield(cfg, grid)
+        assert bool(bits[0, 1, 2, 3])
+        assert int(bits[0].sum()) == 1
+        np.testing.assert_allclose(float(mean), 5.0 / 32**3, rtol=1e-5)
+
+    def test_maxpool_propagates_to_next_cascade_center(self):
+        cfg = self.cfg()
+        # occupied cell at level 0 position (16,16,16) -> next level sees it
+        # at centre octant offset: 16//2 + 8 = 16
+        grid = jnp.zeros((3, 32, 32, 32)).at[0, 16, 16, 16].set(5.0)
+        bits, _ = occ.update_bitfield(cfg, grid)
+        assert bool(bits[1, 16, 16, 16])
+
+    def test_ema_keeps_untrained(self):
+        cfg = self.cfg()
+        grid = jnp.full((3, 32, 32, 32), -1.0)
+        tmp = jnp.ones_like(grid) * 9.0
+        out = occ.ema_update(cfg, grid, tmp)
+        np.testing.assert_allclose(np.asarray(out), -1.0)
+
+    def test_ema_max_decay(self):
+        cfg = self.cfg()
+        grid = jnp.full((3, 4, 4, 4), 2.0)
+        g2 = occ.ema_update(occ.OccupancyConfig(grid_size=4, n_cascades=3),
+                            grid, jnp.zeros_like(grid))
+        np.testing.assert_allclose(np.asarray(g2), 2.0 * 0.95)
+
+    def test_occupied_at_lookup(self):
+        cfg = self.cfg()
+        bits = jnp.zeros((3, 32, 32, 32), bool).at[0, 16, 16, 16].set(True)
+        pos = jnp.array([[0.515, 0.515, 0.515]])  # cell 16 at G=32
+        mip = jnp.array([0])
+        assert bool(occ.occupied_at(cfg, bits, pos, mip)[0])
+        assert not bool(occ.occupied_at(cfg, bits, jnp.array([[0.1, 0.1, 0.1]]), mip)[0])
+
+    def test_mip_from_pos(self):
+        cfg = occ.OccupancyConfig()
+        mips = occ.mip_from_pos(cfg, jnp.array(
+            [[0.5, 0.5, 0.5], [0.8, 0.5, 0.5], [1.4, 0.5, 0.5], [2.4, 0.5, 0.5]]))
+        assert list(np.asarray(mips)) == [0, 0, 1, 2]
+
+    def test_mark_untrained_frustum(self):
+        cfg = self.cfg()
+        # one camera at z=-2 in NGP space looking at +z: cells behind it unseen
+        c2w = jnp.array([[[1.0, 0, 0, 0.5], [0, 1.0, 0, 0.5], [0, 0, 1.0, -2.0]]])
+        focal = jnp.array([[200.0, 200.0]])  # narrow FOV (~18 deg full)
+        grid = occ.mark_untrained(cfg, c2w, focal, 64, 64)
+        # scene centre is on-axis in front -> trained (0)
+        assert float(grid[0, 16, 16, 16]) == 0.0
+        # a level-1 corner cell is far off-axis -> unseen (-1)
+        assert float(grid[1, 0, 0, 0]) == -1.0
+
+    def test_splat_and_generate(self):
+        cfg = self.cfg()
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.zeros((3, 32, 32, 32)))
+        pos, idx = occ.generate_grid_samples(cfg, state, jax.random.PRNGKey(0),
+                                             64, -0.01)
+        assert pos.shape == (64, 3) and idx.shape == (64,)
+        assert (np.asarray(idx) >= 0).all()
+        assert (np.asarray(idx) < 2 * 32**3).all()  # max_cascade=1 -> levels 0,1
+        tmp = occ.splat_max(cfg, jnp.zeros((3, 32, 32, 32)), idx,
+                            jnp.zeros((64,)))
+        # exp(0) * min_cone_stepsize splatted
+        assert float(tmp.max()) > 0
+
+
+class TestMarcher:
+    def test_aabb_range(self):
+        rcfg = NGPRenderConfig(aabb_scale=1, near_distance=0.0)
+        o = jnp.array([[0.5, 0.5, -1.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        tmin, tmax = ray_aabb_range(rcfg, o, d)
+        np.testing.assert_allclose(float(tmin[0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(tmax[0]), 2.0, atol=1e-5)
+
+    def test_march_finds_occupied_span(self):
+        ocfg = occ.OccupancyConfig(grid_size=32, n_cascades=2, max_cascade=0)
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=64, n_samples=16,
+                               near_distance=0.0)
+        # occupy a slab z in [0.5, 0.53125] (cell 16 of 32)
+        bits = jnp.zeros((2, 32, 32, 32), bool).at[0, :, :, 16].set(True)
+        o = jnp.array([[0.5, 0.5, -1.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        m = march_rays(ocfg, rcfg, bits, o, d)
+        # all fine samples concentrated near t = 1.5 (z=0.5)
+        t_valid = np.asarray(m.t)[np.asarray(m.valid)]
+        assert t_valid.size > 0
+        assert np.all(np.abs(t_valid - 1.515) < 0.08)
+
+    def test_march_empty_grid_no_valid(self):
+        ocfg = occ.OccupancyConfig(grid_size=32, n_cascades=2, max_cascade=0)
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8)
+        bits = jnp.zeros((2, 32, 32, 32), bool)
+        m = march_rays(ocfg, rcfg, bits, jnp.array([[0.5, 0.5, -1.0]]),
+                       jnp.array([[0.0, 0.0, 1.0]]))
+        assert not bool(m.valid.any())
+
+
+class TestNGPTrainUnits:
+    def test_huber(self):
+        x = jnp.array([0.0, 1.0])
+        y = jnp.array([0.05, 0.0])
+        h = huber_loss(x, y, delta=0.1)
+        np.testing.assert_allclose(float(h[0]), 0.5 * 0.05**2 / 0.1, atol=1e-7)
+        np.testing.assert_allclose(float(h[1]), 1.0 - 0.05, atol=1e-7)
+
+    def test_expdecay_schedule(self):
+        cfg = NGPTrainConfig(lr=0.1, decay_start=100, decay_interval=50,
+                             decay_base=0.33)
+        s = make_lr_schedule(cfg)
+        np.testing.assert_allclose(float(s(0)), 0.1)
+        np.testing.assert_allclose(float(s(99)), 0.1)
+        np.testing.assert_allclose(float(s(100)), 0.1 * 0.33, rtol=1e-6)
+        np.testing.assert_allclose(float(s(150)), 0.1 * 0.33**2, rtol=1e-6)
+
+
+@pytest.mark.slow
+class TestNGPTrainE2E:
+    def test_overfit_synthetic(self):
+        SCALE, OFF = 0.33, 0.5
+        scene = make_scene(n_views=10, H=24, W=24)
+        idx = jnp.array([i for i in range(10) if i != 5])
+
+        c, r = rays_lib.get_center_and_ray(scene.poses[idx], scene.intr[idx],
+                                           24, 24)
+        d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        tr_o = (c * SCALE + OFF).reshape(-1, 3)
+        tr_d = d.reshape(-1, 3)
+        tr_rgb = scene.images[idx].reshape(-1, 3)
+
+        mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(
+            n_levels=8, log2_hashmap_size=15, desired_resolution=256.0))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=32,
+                               near_distance=0.05)
+        tcfg = NGPTrainConfig(lr=2e-2, n_rays_per_batch=1024,
+                              target_batch_size=1 << 14,
+                              n_grid_uniform=1 << 14, n_grid_nonuniform=1 << 14,
+                              decay_start=10**6)
+        trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        rng = np.random.default_rng(0)
+        for _ in range(300):
+            key, k = jax.random.split(key)
+            ids = rng.integers(0, tr_o.shape[0], 1024)
+            m = trainer.train_step(tr_o[ids], tr_d[ids], tr_rgb[ids], k)
+        assert float(m["psnr"]) > 15.0, f"train psnr {float(m['psnr'])}"
+        # batch adaptation engaged
+        assert trainer.n_rays_per_batch != 1024
+
+        pose = scene.poses[5]
+        R, t = pose[:, :3], pose[:, 3]
+        c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], axis=1)
+        rgb, depth = trainer.render_image(c2w, scene.intr[5], 24, 24, chunk=576)
+        val = float(psnr(rgb, scene.images[5]))
+        assert val > 14.0, f"val psnr {val}"
