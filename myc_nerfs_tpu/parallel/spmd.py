@@ -1,0 +1,78 @@
+"""SPMD train/render helpers: place state + batches on a mesh and step.
+
+With GSPMD, the single-chip jitted step functions are already multi-chip
+programs: placing the ray batch with data-axis sharding and the params
+replicated (or table-sharded) makes XLA partition the computation and insert
+the gradient psum over ICI. These helpers do the placement and expose a
+full multi-chip NGP training step for tests and the driver's dry run.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.ngp import HashGridConfig, NGPModel, NGPModelConfig
+from ..render.ngp_render import NGPRenderConfig
+from ..train import ngp_trainer
+from . import mesh as mesh_lib
+
+
+def place_ngp_state(mesh, state: ngp_trainer.NGPTrainState,
+                    shard_table: bool = True) -> ngp_trainer.NGPTrainState:
+    """Replicate the train state; optionally shard hash-table rows (TP)."""
+    rep = mesh_lib.replicated(mesh)
+
+    def place(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if shard_table and "table" in names:
+            return jax.device_put(leaf, mesh_lib.table_sharding(mesh))
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
+def multichip_ngp_train_step(mesh, n_rays: int = 256,
+                             shard_table: bool = True,
+                             model_cfg: Optional[NGPModelConfig] = None,
+                             rcfg: Optional[NGPRenderConfig] = None,
+                             tcfg: Optional[ngp_trainer.NGPTrainConfig] = None,
+                             seed: int = 0):
+    """Build + run ONE full multi-chip NGP training step on tiny shapes.
+
+    Exercises dp (rays over "data"), tp (hash-table rows over "model"),
+    replicated-MLP gradient psum, and the occupancy-gated marcher under
+    GSPMD. Returns (state, metrics). Used by tests and __graft_entry__'s
+    dryrun_multichip.
+    """
+    model_cfg = model_cfg or NGPModelConfig(
+        grid=HashGridConfig(n_levels=4, desired_resolution=64.0))
+    rcfg = rcfg or NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8)
+    tcfg = tcfg or ngp_trainer.NGPTrainConfig(
+        n_rays_per_batch=n_rays, target_batch_size=1 << 10,
+        n_grid_uniform=1 << 10, n_grid_nonuniform=0)
+    trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
+                                     jax.random.PRNGKey(seed))
+    # make some occupancy so the marcher/MLP actually run
+    occ_on = trainer.state.occ._replace(
+        bitfield=jnp.ones_like(trainer.state.occ.bitfield))
+    state = place_ngp_state(mesh, trainer.state._replace(occ=occ_on),
+                            shard_table=shard_table)
+
+    key = jax.random.PRNGKey(seed + 1)
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (n_rays,)) * 6.28318
+    rays_o = jnp.stack([0.5 + 1.4 * jnp.cos(theta), 0.5 + 1.4 * jnp.sin(theta),
+                        jnp.full((n_rays,), 0.5)], -1)
+    rays_d = (0.5 - rays_o)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = jax.random.uniform(k2, (n_rays, 3))
+    bg = jnp.ones((3,))
+    rays_o, rays_d, target = mesh_lib.shard_batch(mesh, rays_o, rays_d, target)
+
+    with mesh:
+        new_state, metrics = trainer._step_fn(state, rays_o, rays_d, target,
+                                              bg, jax.random.PRNGKey(7))
+        jax.block_until_ready(metrics["loss"])
+    return new_state, metrics

@@ -1,0 +1,172 @@
+"""Tests for config system, registry, checkpointing, and blender data layer."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myc_nerfs_tpu.core import checkpoint, config, registry
+
+
+class TestConfig:
+    def test_py_config_base_inheritance(self, tmp_path):
+        (tmp_path / "base.py").write_text("lr = 0.1\nmodel = dict(type='A', width=4)\n")
+        (tmp_path / "child.py").write_text(
+            "_base_ = 'base.py'\nlr = 0.2\nmodel = dict(width=8)\n")
+        cfg = config.load_py_config(str(tmp_path / "child.py"))
+        assert cfg.lr == 0.2
+        assert cfg.model.type == "A" and cfg.model.width == 8
+
+    def test_py_config_cover(self, tmp_path):
+        (tmp_path / "base.py").write_text("opt = dict(type='Adam', lr=0.1, eps=1e-8)\n")
+        (tmp_path / "child.py").write_text(
+            "_base_ = 'base.py'\nopt = dict(_cover_=True, type='SGD')\n")
+        cfg = config.load_py_config(str(tmp_path / "child.py"))
+        assert cfg.opt.type == "SGD"
+        assert "lr" not in cfg.opt  # subtree replaced, not merged
+
+    def test_yaml_parent_chain(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("a: 1\nnested:\n  x: 1\n  y: 2\n")
+        (tmp_path / "leaf.yaml").write_text(
+            f"_parent_: {tmp_path}/base.yaml\nnested:\n  y: 3\n")
+        cfg = config.load_yaml_config(str(tmp_path / "leaf.yaml"))
+        assert cfg.a == 1 and cfg.nested.x == 1 and cfg.nested.y == 3
+
+    def test_dot_overrides(self):
+        cfg = config.Config.wrap({"optim": {"lr": 0.1}, "flag": False, "on": True})
+        out = config.apply_overrides(cfg, ["--optim.lr=5e-3", "--flag", "--on!"])
+        assert out.optim.lr == 5e-3 and out.flag is True and out.on is False
+
+    def test_override_unknown_key_raises(self):
+        cfg = config.Config.wrap({"a": 1})
+        with pytest.raises(KeyError):
+            config.apply_overrides(cfg, ["--b=2"])
+
+    def test_global_singleton(self):
+        config.init_cfg({"x": 1})
+        assert config.get_cfg().x == 1
+
+
+class TestRegistry:
+    def test_register_and_build(self):
+        R = registry.Registry("TEST")
+
+        @R.register_module()
+        class Thing:
+            def __init__(self, a, b=2):
+                self.a, self.b = a, b
+
+        obj = registry.build_from_cfg({"type": "Thing", "a": 1}, R)
+        assert obj.a == 1 and obj.b == 2
+
+    def test_unknown_type_raises(self):
+        R = registry.Registry("TEST2")
+        with pytest.raises(KeyError):
+            registry.build_from_cfg({"type": "Nope"}, R)
+
+    def test_reference_registries_exist(self):
+        for name in ["DATASETS", "ENCODERS", "NETWORKS", "SAMPLERS",
+                     "LOSSES", "OPTIMS", "SCHEDULERS"]:
+            assert isinstance(getattr(registry, name), registry.Registry)
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_optimizer(self, tmp_path):
+        import optax
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)}
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        state = {"params": params, "opt_state": opt_state,
+                 "step": jnp.int32(7)}
+        path = str(tmp_path / "model.ckpt")
+        checkpoint.save_checkpoint(path, state, step=7, meta={"lr": 0.5},
+                                   keep_snapshot=True)
+        target = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored, meta = checkpoint.restore_checkpoint(path, target)
+        np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                                   np.asarray(params["w"]))
+        assert int(restored["step"]) == 7
+        assert meta["step"] == 7 and meta["lr"] == 0.5
+        assert os.path.exists(str(tmp_path / "model" / "7.ckpt"))
+        assert checkpoint.latest_checkpoint(str(tmp_path)) == path
+
+    def test_latest_missing(self, tmp_path):
+        assert checkpoint.latest_checkpoint(str(tmp_path)) is None
+
+
+def _write_synthetic_blender(tmp_path, n=3, H=8, W=8, split="train", alpha=True):
+    from PIL import Image
+
+    frames = []
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / split, exist_ok=True)
+    for i in range(n):
+        arr = (rng.uniform(0, 1, (H, W, 4 if alpha else 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr, "RGBA" if alpha else "RGB").save(
+            tmp_path / split / f"r_{i}.png")
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0, 2.0 + i]
+        frames.append({"file_path": f"./{split}/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    with open(tmp_path / f"transforms_{split}.json", "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+
+class TestBlenderData:
+    def test_load_and_blend(self, tmp_path):
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path)
+        scene = blender.load_blender_split(str(tmp_path), "train")
+        assert scene.images.shape == (3, 8, 8, 3)
+        assert scene.alphas.shape == (3, 8, 8, 1)
+        blended = blender.blend_background(scene, bg=1.0)
+        assert blended.min() >= 0 and blended.max() <= 1.0 + 1e-6
+        # focal from camera_angle_x
+        np.testing.assert_allclose(scene.focal, 0.5 * 8 / np.tan(0.4), rtol=1e-6)
+
+    def test_barf_views(self, tmp_path):
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path)
+        scene = blender.load_blender_split(str(tmp_path), "train")
+        images, poses, intr = blender.barf_views(scene)
+        assert poses.shape == (3, 3, 4) and intr.shape == (3, 3, 3)
+
+    def test_tensorf_ray_store(self, tmp_path):
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path)
+        scene = blender.load_blender_split(str(tmp_path), "train")
+        rays, rgbs = blender.tensorf_ray_store(scene)
+        assert rays.shape == (3 * 64, 6) and rgbs.shape == (3 * 64, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(rays[:, 3:]), axis=-1), 1.0, atol=1e-5)
+
+    def test_ngp_dataset_batches(self, tmp_path):
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path, split="train")
+        _write_synthetic_blender(tmp_path, n=2, split="val")
+        ds = blender.load_ngp_train_data(str(tmp_path), aabb_scale=2)
+        assert ds.images.shape[0] == 5  # train+val merged
+        batcher = blender.RayBatcher(5, 64, batch=16, seed=0)
+        img_ids, pix_ids = batcher.next()
+        o, d = ds.rays_for_pixels(img_ids, pix_ids)
+        assert o.shape == (16, 3) and d.shape == (16, 3)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+        rgb = ds.pixel_values(img_ids, pix_ids, bg=np.ones((16, 3), np.float32))
+        assert rgb.shape == (16, 3)
+
+    def test_batcher_covers_all(self):
+        from myc_nerfs_tpu.data.blender import RayBatcher
+
+        b = RayBatcher(2, 10, batch=5, seed=1)
+        seen = set()
+        for _ in range(4):
+            i, p = b.next()
+            seen.update((int(a), int(c)) for a, c in zip(i, p))
+        assert len(seen) == 20
