@@ -1,0 +1,175 @@
+"""Instant-NGP CLI (the reference's tools/run_net.py).
+
+Mirrors jnerf-myc/tools/run_net.py:16-54: ``--config-file <cfg.py>
+--task train|test|render [--save_dir d]`` with python-module configs
+(_base_ inheritance). Drives NGPTrainer (the Runner equivalent) on blender
+data or a synthetic scene.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from ..core.config import init_cfg, load_config
+from ..geom.camera_path import path_spherical
+from ..models.ngp import HashGridConfig, NGPModelConfig
+from ..render.ngp_render import NGPRenderConfig
+from ..train.ngp_trainer import NGPTrainConfig, NGPTrainer
+from ..utils.logging import MetricWriter, log
+from ..utils.metrics import psnr
+
+
+def build_trainer(cfg, key):
+    ds_cfg = cfg.get("dataset", {}).get("train", {})
+    aabb_scale = ds_cfg.get("aabb_scale", 1)
+    grid = HashGridConfig(aabb_scale=aabb_scale,
+                          **cfg.get("hash_grid_overrides", {}))
+    mcfg = NGPModelConfig(grid=grid, use_bf16=cfg.get("fp16", False))
+    rcfg = NGPRenderConfig(
+        aabb_scale=aabb_scale,
+        n_coarse=cfg.get("n_coarse", 512),
+        n_samples=cfg.get("n_samples", 64),
+        near_distance=cfg.get("near_distance", 0.2),
+        cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
+        const_dt=cfg.get("const_dt", True))
+    optim = cfg.get("optim", {})
+    exp = cfg.get("expdecay", {})
+    tcfg = NGPTrainConfig(
+        lr=optim.get("lr", 1e-1), eps=optim.get("eps", 1e-15),
+        betas=tuple(optim.get("betas", (0.9, 0.99))),
+        ema_decay=cfg.get("ema", {}).get("decay", 0.95),
+        decay_start=exp.get("decay_start", 20000),
+        decay_interval=exp.get("decay_interval", 10000),
+        decay_base=exp.get("decay_base", 0.33),
+        n_rays_per_batch=cfg.get("n_rays_per_batch", 4096),
+        target_batch_size=cfg.get("target_batch_size", 1 << 18),
+        update_den_freq=cfg.get("sampler", {}).get("update_den_freq", 16),
+        background_color=tuple(cfg.get("background_color", (1, 1, 1))),
+        tot_train_steps=cfg.get("tot_train_steps", 40000),
+        n_grid_uniform=cfg.get("n_grid_uniform", 1 << 16),
+        n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16))
+    return NGPTrainer(mcfg, rcfg, tcfg, key), tcfg
+
+
+def load_data(cfg):
+    ds_cfg = cfg.get("dataset", {}).get("train", {})
+    if cfg.get("synthetic"):
+        from ..data.synthetic import make_scene
+        from ..geom import rays as rays_lib
+
+        H = W = cfg.get("synthetic_size", 24)
+        scene = make_scene(n_views=cfg.get("synthetic_views", 10), H=H, W=W)
+        SCALE, OFF = 0.33, 0.5
+        c, r = rays_lib.get_center_and_ray(scene.poses, scene.intr, H, W)
+        d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        o = (c * SCALE + OFF)
+
+        class SyntheticNGPData:
+            n_images = scene.images.shape[0]
+            n_pixels = H * W
+            images = np.asarray(scene.images)
+
+            def __init__(self):
+                self._o = np.asarray(o.reshape(scene.images.shape[0], -1, 3))
+                self._d = np.asarray(d.reshape(scene.images.shape[0], -1, 3))
+
+            def rays_for_pixels(self, img_ids, pix_ids):
+                return self._o[img_ids, pix_ids], self._d[img_ids, pix_ids]
+
+            def pixel_values(self, img_ids, pix_ids, bg=None):
+                return self.images.reshape(self.n_images, -1, 3)[img_ids, pix_ids]
+
+        return SyntheticNGPData(), H, W
+    from ..data import blender
+
+    ds = blender.load_ngp_train_data(
+        ds_cfg.get("root_dir", "data"),
+        aabb_scale=ds_cfg.get("aabb_scale", 1),
+        scale=ds_cfg.get("scale"), offset=ds_cfg.get("offset"),
+        correct_pose=tuple(ds_cfg.get("correct_pose", (-1, -1, 1))))
+    ds.n_pixels = ds.H * ds.W
+    ds.n_images = ds.images.shape[0]
+    return ds, ds.H, ds.W
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--task", default="train",
+                        choices=["train", "test", "render"])
+    parser.add_argument("--save_dir", default="")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=0,
+                        help="override tot_train_steps")
+    args = parser.parse_args(argv)
+
+    cfg = load_config(args.config_file)
+    if args.synthetic:
+        cfg["synthetic"] = True
+    init_cfg(cfg)
+    out_dir = args.save_dir or os.path.join(cfg.get("log_dir", "./logs"),
+                                            cfg.get("exp_name", "run"))
+    os.makedirs(out_dir, exist_ok=True)
+    writer = MetricWriter(out_dir)
+
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    trainer, tcfg = build_trainer(cfg, k)
+    data, H, W = load_data(cfg)
+
+    ckpt = os.path.join(out_dir, "model.ckpt")
+    if cfg.get("load_ckpt") and latest_checkpoint(out_dir):
+        trainer.state, meta = restore_checkpoint(ckpt, trainer.state)
+        log.info(f"resumed @ {meta.get('step')}")
+
+    if args.task == "train":
+        from ..data.blender import RayBatcher
+
+        steps = args.steps or tcfg.tot_train_steps
+        batcher = RayBatcher(data.n_images, data.n_pixels,
+                             trainer.n_rays_per_batch)
+        rng = np.random.default_rng(0)
+        for it in range(int(trainer.state.step), steps):
+            if batcher.batch != trainer.n_rays_per_batch:
+                batcher = RayBatcher(data.n_images, data.n_pixels,
+                                     trainer.n_rays_per_batch, seed=it)
+            img_ids, pix_ids = batcher.next()
+            o, d = data.rays_for_pixels(img_ids, pix_ids)
+            bg = rng.uniform(0, 1, (len(img_ids), 3)).astype(np.float32)
+            target = data.pixel_values(img_ids, pix_ids, bg=bg)
+            key, k = jax.random.split(key)
+            m = trainer.train_step(jnp.asarray(o), jnp.asarray(d),
+                                   jnp.asarray(target), k)
+            if it % 100 == 0:
+                writer.scalar("psnr", float(m["psnr"]), it)
+                log.info(f"step {it} psnr {float(m['psnr']):.2f} "
+                         f"rays/batch {trainer.n_rays_per_batch}")
+            if it % 4096 == 4095:
+                save_checkpoint(ckpt, trainer.state, step=it + 1)
+        save_checkpoint(ckpt, trainer.state, step=steps)
+        log.info(f"saved {ckpt}")
+    elif args.task == "render":
+        from ..evaluation.visualization import write_video
+
+        frames = []
+        for c2w in path_spherical(cfg.get("render_frames", 8)):
+            rgb, _ = trainer.render_image(
+                jnp.asarray(c2w), jnp.asarray(
+                    [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]),
+                H, W)
+            frames.append(np.asarray(jnp.clip(rgb, 0, 1)))
+        out = write_video(os.path.join(out_dir, "demo.mp4"), frames, fps=8)
+        log.info(f"render -> {out or out_dir + '/demo/'}")
+    else:
+        log.info("test task: rendering eval views")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

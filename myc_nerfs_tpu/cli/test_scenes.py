@@ -1,0 +1,87 @@
+"""Competition inference driver (the reference's umbrella test.py).
+
+Mirrors test.py:1-38: renders the five B-board scene test sets into
+``result/`` by invoking the per-stack pipelines —
+- Coffee, Scar, Scarf via the TensoRF stack (test.py:16-22)
+- Easyship via GARF-refined poses + Instant-NGP, Car via Instant-NGP
+  (test.py:25-37)
+
+Scenes whose data directories are absent are skipped with a notice (this
+environment ships no image data). ``--synthetic`` exercises the full driver
+on the built-in synthetic scene instead.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+from typing import Optional
+
+from ..utils.logging import log
+
+TENSORF_SCENES = ["Coffee", "Scar", "Scarf"]
+NGP_SCENES = ["Car", "Easyship"]
+
+
+def main(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", default="data")
+    parser.add_argument("--result_dir", default="result")
+    parser.add_argument("--configs_root", default="configs")
+    parser.add_argument("--synthetic", action="store_true")
+    args = parser.parse_args(argv)
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    if args.synthetic:
+        from . import run_net, tensorf_train
+
+        log.title("synthetic umbrella run (no scene data present)")
+        tensorf_train.main(["--config",
+                            os.path.join(args.configs_root, "tensorf",
+                                         "demo_synthetic.txt"),
+                            "--n_iters", "50"])
+        run_net.main(["--config-file",
+                      os.path.join(args.configs_root, "ngp", "demo_synthetic.py"),
+                      "--task", "train", "--steps", "50"])
+        log.info("synthetic umbrella run complete")
+        return args.result_dir
+
+    for scene in TENSORF_SCENES:
+        cfg = os.path.join(args.configs_root, "tensorf", f"{scene}.txt")
+        if not os.path.isdir(os.path.join(args.data_root, scene)):
+            log.error(f"skip {scene}: no data at {args.data_root}/{scene}")
+            continue
+        from . import tensorf_train
+
+        log.title(f"render_test {scene}")
+        out = tensorf_train.main(["--config", cfg, "--render_only", "1"])
+        dst = os.path.join(args.result_dir, scene)
+        if os.path.isdir(out):
+            shutil.copytree(out, dst, dirs_exist_ok=True)
+
+    # Easyship: copy raw images next to the refined poses (test.py:25-28)
+    refine_dir = os.path.join("data_refine", "Easyship")
+    if os.path.isdir(os.path.join(args.data_root, "Easyship")) and \
+            os.path.isdir(refine_dir):
+        for split in ("train", "val", "test"):
+            src = os.path.join(args.data_root, "Easyship", split)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(refine_dir, split),
+                                dirs_exist_ok=True)
+
+    for scene in NGP_SCENES:
+        cfg = os.path.join(args.configs_root, "ngp", f"{scene}.py")
+        root = refine_dir if scene == "Easyship" else \
+            os.path.join(args.data_root, scene)
+        if not os.path.isdir(root):
+            log.error(f"skip {scene}: no data at {root}")
+            continue
+        from . import run_net
+
+        log.title(f"NGP test {scene}")
+        run_net.main(["--config-file", cfg, "--task", "test"])
+    return args.result_dir
+
+
+if __name__ == "__main__":
+    main()

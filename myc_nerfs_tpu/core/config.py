@@ -90,12 +90,13 @@ def load_yaml_config(path: str) -> Config:
         cfg = yaml.safe_load(f) or {}
     parent = cfg.pop("_parent_", None)
     if parent:
-        ppath = parent if os.path.isabs(parent) else \
-            os.path.normpath(os.path.join(os.path.dirname(path), "..", parent)) \
-            if not os.path.exists(os.path.join(os.path.dirname(path), parent)) \
-            else os.path.join(os.path.dirname(path), parent)
-        if not os.path.exists(ppath):
-            ppath = parent  # relative to cwd, like the reference
+        # resolve: absolute > sibling of this file > basename next to this
+        # file > cwd-relative (the reference runs from the repo root)
+        candidates = [parent,
+                      os.path.join(os.path.dirname(path), parent),
+                      os.path.join(os.path.dirname(path),
+                                   os.path.basename(parent))]
+        ppath = next((c for c in candidates if os.path.exists(c)), parent)
         base = dict(load_yaml_config(ppath))
         cfg = _merge(base, cfg)
     return Config.wrap(cfg)
