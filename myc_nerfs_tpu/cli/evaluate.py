@@ -110,6 +110,26 @@ def main(argv: Optional[list] = None):
             os.path.join(out_dir, "transform_val.json"),
             jnp.stack(val_poses), file_pattern="./val/r_{}")
         log.info(f"val pose export -> {out_dir}/transform_val.json")
+
+    if cfg.get("video"):
+        # novel-view synthesis video along a small orbit around view 0
+        # (generate_videos_synthesis, nerf.py:160-199)
+        from ..evaluation.visualization import visualize_depth, write_video
+
+        novel = pose_lib.get_novel_view_poses(poses_gt[0],
+                                              N=cfg.get("video_frames", 30))
+        rgb_frames, depth_frames = [], []
+        for i in range(novel.shape[0]):
+            rgb, depth = nt.render_validation(tcfg, model, state.params,
+                                              novel[i], intr[0], H, W)
+            rgb_frames.append(np.asarray(jnp.clip(rgb, 0, 1)))
+            dimg, _ = visualize_depth(1.0 / np.maximum(np.asarray(depth), 1e-3))
+            depth_frames.append(dimg)
+        v1 = write_video(os.path.join(out_dir, "novel_view_rgb.mp4"),
+                         rgb_frames, fps=10)
+        v2 = write_video(os.path.join(out_dir, "novel_view_invdepth.mp4"),
+                         depth_frames, fps=10)
+        log.info(f"videos -> {v1}, {v2}")
     return out_dir
 
 

@@ -154,6 +154,30 @@ def main(argv: Optional[list] = None):
                 save_checkpoint(ckpt, trainer.state, step=it + 1)
         save_checkpoint(ckpt, trainer.state, step=steps)
         log.info(f"saved {ckpt}")
+    elif args.task == "test":
+        # Runner.test (runner.py:88-103, 166-185): render eval views, PSNR,
+        # append to psnr.txt, save PNGs
+        from PIL import Image
+
+        images, c2ws, intrs = load_eval_views(cfg, data, H, W)
+        test_dir = os.path.join(out_dir, "test")
+        os.makedirs(test_dir, exist_ok=True)
+        psnrs = []
+        for i in range(len(c2ws)):
+            rgb, _ = trainer.render_image(jnp.asarray(c2ws[i]),
+                                          jnp.asarray(intrs[i]), H, W)
+            arr = np.asarray(jnp.clip(rgb, 0, 1))
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(test_dir, f"r_{i}.png"))
+            if images is not None:
+                p = float(psnr(jnp.asarray(arr), jnp.asarray(images[i])))
+                psnrs.append(p)
+                writer.scalar("psnr_test", p, i)
+                log.info(f"test view {i}: psnr {p:.2f}")
+        if psnrs:
+            with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
+                f.write(f"mean {float(np.mean(psnrs))}\n")
+            log.info(f"TOTAL PSNR: {float(np.mean(psnrs)):.3f}")
     elif args.task == "render":
         from ..evaluation.visualization import write_video
 
@@ -166,9 +190,36 @@ def main(argv: Optional[list] = None):
             frames.append(np.asarray(jnp.clip(rgb, 0, 1)))
         out = write_video(os.path.join(out_dir, "demo.mp4"), frames, fps=8)
         log.info(f"render -> {out or out_dir + '/demo/'}")
-    else:
-        log.info("test task: rendering eval views")
     return out_dir
+
+
+def load_eval_views(cfg, train_data, H, W):
+    """Eval views -> (images or None, c2w list (NGP space), intr list)."""
+    if cfg.get("synthetic"):
+        from ..data.synthetic import make_scene
+
+        scene = make_scene(n_views=cfg.get("synthetic_views", 10), H=H, W=W)
+        SCALE, OFF = 0.33, 0.5
+        c2ws, intrs = [], []
+        for i in range(min(4, scene.poses.shape[0])):
+            R, t = scene.poses[i][:, :3], scene.poses[i][:, 3]
+            c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], 1)
+            c2ws.append(c2w)
+            intrs.append(scene.intr[i])
+        return np.asarray(scene.images[:len(c2ws)]), c2ws, intrs
+    from ..data import blender
+
+    ds_cfg = cfg.get("dataset", {}).get("val", cfg.get("dataset", {}).get("train", {}))
+    scene = blender.load_blender_split(ds_cfg.get("root_dir", "data"), "val",
+                                       require_images=False)
+    ds = blender.NGPDataset.from_scene(
+        scene, aabb_scale=ds_cfg.get("aabb_scale", 1),
+        scale=ds_cfg.get("scale"), offset=ds_cfg.get("offset"),
+        correct_pose=tuple(ds_cfg.get("correct_pose", (-1, -1, 1))))
+    intr = np.asarray([[scene.focal, 0, scene.W / 2],
+                       [0, scene.focal, scene.H / 2], [0, 0, 1.0]], np.float32)
+    imgs = blender.blend_background(scene) if scene.images.shape[0] else None
+    return imgs, list(ds.c2w_ngp), [intr] * ds.c2w_ngp.shape[0]
 
 
 if __name__ == "__main__":

@@ -43,8 +43,8 @@ def parse_txt_config(path: str) -> dict:
 def build_configs(a: dict):
     shading = a.get("shadingMode", "MLP_Fea")
     model_cfg = tfm.TensoRFConfig(
-        decomp={"TensorCP": "cp"}.get(a.get("model_name", "TensorVMSplit"),
-                                      "vm_split"),
+        decomp={"TensorCP": "cp", "TensorVM": "vm"}.get(
+            a.get("model_name", "TensorVMSplit"), "vm_split"),
         density_n_comp=tuple(a.get("n_lamb_sigma", [16, 16, 16])),
         app_n_comp=tuple(a.get("n_lamb_sh", [48, 48, 48])),
         app_dim=a.get("data_dim_color", 27),
@@ -125,34 +125,68 @@ def main(argv: Optional[list] = None):
     writer = MetricWriter(out_dir)
 
     rays, rgbs, aabb = load_rays(a)
-    trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb, jax.random.PRNGKey(0))
     model_name = a.get("model_name", "TensorVMSplit")
+
+    # variant wiring: swap the model forward + extra loss (train.py:253-257)
+    forward_fn = None
     extra_loss = None
     if model_name == "REFTensoRF":
-        trainer.params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1),
-                                                    model_cfg, trainer.params)
         w = a.get("normal_vector_penalty_weight", 0.0)
-        mlp_apply = ref_tensorf.make_ref_mlp(model_cfg).apply
+        ref_apply = ref_tensorf.make_ref_mlp(model_cfg).apply
 
-        def extra_loss(params, out):  # noqa: F811 — plugged into the step
-            return 0.0  # penalty handled by the ref forward below
+        def forward_fn(mc, g, params, bufs, r, key, white_bg):
+            return ref_tensorf.ref_tensorf_forward(mc, g, params, bufs, r, key,
+                                                   white_bg=white_bg,
+                                                   mlp_apply=ref_apply)
+
+        def extra_loss(params, out):
+            return w * out.extras["penalty"]
     elif model_name == "NerfPlusPlus":
         pp = nerfpp.NerfPPConfig(bg_freq=a.get("bg_freq", 4),
                                  bg_view_freq=a.get("bg_view_freq", 2),
                                  bg_D=a.get("bg_D", 4),
-                                 radii=a.get("radii", 20))
+                                 radii=a.get("radii", 20),
+                                 bg_samples=a.get("bg_samples", 512))
+        base_apply = tfm.make_render_mlp(model_cfg).apply
+        bg_apply = nerfpp.make_bg_net(pp).apply
+
+        def forward_fn(mc, g, params, bufs, r, key, white_bg):
+            return nerfpp.nerfpp_forward(mc, pp, g, params, bufs, r, key,
+                                         mlp_apply=base_apply,
+                                         bg_apply=bg_apply)
+
+    trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb,
+                                jax.random.PRNGKey(0),
+                                extra_loss_fn=extra_loss, forward_fn=forward_fn)
+    if model_name == "REFTensoRF":
+        trainer.params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1),
+                                                    model_cfg, trainer.params)
+        trainer._rebuild(lr_scale=1.0)
+    elif model_name == "NerfPlusPlus":
         trainer.params["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(2), pp)
+        trainer._rebuild(lr_scale=1.0)
 
     ckpt = args.ckpt or os.path.join(out_dir, f"{a.get('expname', 'tensorf')}.ckpt")
 
     if args.render_only:
-        trainer.params, meta = restore_checkpoint(ckpt, trainer.params)
-        rgb, depth = trainer.render_rays(rays[:4096])
-        log.info(f"rendered {rgb.shape[0]} rays; psnr vs train rays "
-                 f"{float(psnr(rgb, rgbs[:4096])):.2f}")
+        restore_tensorf_ckpt(ckpt, trainer)
+        if a.get("synthetic"):
+            from ..data.synthetic import make_scene
+
+            H = W = a.get("synthetic_size", 20)
+            scene = make_scene(n_views=a.get("synthetic_views", 10), H=H, W=W)
+            psnrs, ssims = tt.evaluation(
+                trainer, scene.poses, scene.intr, scene.images,
+                os.path.join(out_dir, "imgs_test_all"), chunk=H * W)
+            log.info(f"render_test: mean psnr {np.mean(psnrs):.2f} "
+                     f"ssim {np.mean(ssims):.3f}")
+        else:
+            rgb, depth = trainer.render_rays(rays[:4096])
+            log.info(f"rendered {rgb.shape[0]} rays; psnr vs train rays "
+                     f"{float(psnr(rgb, rgbs[:4096])):.2f}")
         return out_dir
     if args.export_mesh:
-        trainer.params, meta = restore_checkpoint(ckpt, trainer.params)
+        restore_tensorf_ckpt(ckpt, trainer)
         from ..evaluation.mesh import convert_density_samples_to_ply
         from ..models.tensorf import compute_alpha
 
@@ -173,11 +207,54 @@ def main(argv: Optional[list] = None):
         return out_dir
 
     m = trainer.train(rays, rgbs, log_every=500)
-    save_checkpoint(ckpt, trainer.params, step=trainer.global_step,
-                    meta={"model_name": model_name})
+    save_tensorf_ckpt(ckpt, trainer, model_name)
     writer.scalar("train/psnr", float(m["psnr"]), trainer.global_step)
     log.info(f"final psnr {float(m['psnr']):.2f} -> {ckpt}")
     return out_dir
+
+
+def save_tensorf_ckpt(ckpt: str, trainer, model_name: str):
+    """Checkpoint incl. model kwargs needed to rebuild the stage (grid size,
+    aabb, alpha volume) — tensorf's get_kwargs scheme (tensorBase.py:253-272)."""
+    state = {"params": trainer.params,
+             "alpha_volume": (trainer.buffers["alpha_volume"]
+                              if trainer.buffers.get("alpha_volume") is not None
+                              else jnp.zeros((0, 0, 0))),
+             "alpha_aabb": trainer.buffers["alpha_aabb"],
+             "aabb": trainer.buffers["aabb"]}
+    save_checkpoint(ckpt, state, step=trainer.global_step,
+                    meta={"model_name": model_name,
+                          "grid_size": list(trainer.geom.grid_size)})
+
+
+def restore_tensorf_ckpt(ckpt: str, trainer):
+    """Rebuild the trainer at the checkpoint's stage then restore weights."""
+    import json
+
+    meta = json.load(open(ckpt + ".json"))
+    gs = meta["grid_size"]
+    trainer.params = tfm.upsample_volume_grid(trainer.model_cfg, trainer.params, gs)
+    target = {"params": trainer.params,
+              "alpha_volume": jnp.zeros((0, 0, 0)),
+              "alpha_aabb": trainer.buffers["alpha_aabb"],
+              "aabb": trainer.buffers["aabb"]}
+    try:
+        state, _ = restore_checkpoint(ckpt, target)
+    except ValueError:
+        # checkpoint carries an alpha volume: retry with a shaped target
+        reso = min(gs[0], 256)
+        target["alpha_volume"] = jnp.zeros((reso,) * 3)
+        state, _ = restore_checkpoint(ckpt, target)
+    trainer.params = state["params"]
+    trainer.buffers["aabb"] = state["aabb"]
+    trainer.buffers["alpha_aabb"] = state["alpha_aabb"]
+    if state["alpha_volume"].size:
+        trainer.buffers["alpha_volume"] = state["alpha_volume"]
+    trainer.geom = tfm.compute_stage_geom(
+        trainer.model_cfg, np.asarray(state["aabb"]), gs,
+        trainer.cfg.n_samples_cap)
+    trainer._rebuild(lr_scale=1.0)
+    return trainer
 
 
 if __name__ == "__main__":

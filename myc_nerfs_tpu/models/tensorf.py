@@ -174,6 +174,20 @@ def init_tensorf(key: jax.Array, cfg: TensoRFConfig, aabb,
             scale * jax.random.normal(keys[3 + i], (cfg.app_n_comp[0], gs[VEC_MODE[i]]))
             for i in range(3))
         n_basis_in = cfg.app_n_comp[0]
+    elif cfg.decomp == "vm":
+        # non-split TensorVM: shared [3, D+A, res, res] plane + [3, D+A, res]
+        # line with a single cubic res (tensoRF.py:4-31); density = last D
+        # comps, appearance = first A comps
+        scale = 0.1
+        D, A = cfg.density_n_comp[0], cfg.app_n_comp[0]
+        res = gs[0]
+        params["vm_plane"] = tuple(
+            scale * jax.random.normal(keys[i], (D + A, res, res))
+            for i in range(3))
+        params["vm_line"] = tuple(
+            scale * jax.random.normal(keys[3 + i], (D + A, res))
+            for i in range(3))
+        n_basis_in = 3 * A
     else:
         raise ValueError(cfg.decomp)
     # basis_mat: Linear(no bias) default torch init U(-1/sqrt(in), 1/sqrt(in))
@@ -223,6 +237,16 @@ def compute_density_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp
             line_feat = _line_sample(params["density_line"][i], xyz[..., VEC_MODE[i]])
             total = total + (plane_feat * line_feat).sum(-1)
         return total
+    if cfg.decomp == "vm":
+        D = cfg.density_n_comp[0]
+        total = 0.0
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane_feat = grid_sample_2d(params["vm_plane"][i][-D:],
+                                        jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
+            line_feat = _line_sample(params["vm_line"][i][-D:], xyz[..., VEC_MODE[i]])
+            total = total + (plane_feat * line_feat).sum(-1)
+        return total
     prod = _line_sample(params["density_line"][0], xyz[..., VEC_MODE[0]])
     prod = prod * _line_sample(params["density_line"][1], xyz[..., VEC_MODE[1]])
     prod = prod * _line_sample(params["density_line"][2], xyz[..., VEC_MODE[2]])
@@ -238,6 +262,16 @@ def compute_app_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp.nda
             plane_feat = grid_sample_2d(params["app_plane"][i],
                                         jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
             line_feat = _line_sample(params["app_line"][i], xyz[..., VEC_MODE[i]])
+            feats.append(plane_feat * line_feat)
+        feat = jnp.concatenate(feats, axis=-1)
+    elif cfg.decomp == "vm":
+        A = cfg.app_n_comp[0]
+        feats = []
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            plane_feat = grid_sample_2d(params["vm_plane"][i][:A],
+                                        jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
+            line_feat = _line_sample(params["vm_line"][i][:A], xyz[..., VEC_MODE[i]])
             feats.append(plane_feat * line_feat)
         feat = jnp.concatenate(feats, axis=-1)
     else:
@@ -284,6 +318,21 @@ def sample_ray(aabb: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     return pts, z_vals, jnp.logical_not(out)
 
 
+def sample_ray_ndc(aabb: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                   n_samples: int, near_far: Tuple[float, float],
+                   key: Optional[jax.Array]):
+    """Uniform near-far sampling for NDC rays (tensorBase.py:328-338)."""
+    near, far = near_far
+    z_vals = jnp.broadcast_to(jnp.linspace(near, far, n_samples)[None],
+                              (rays_o.shape[0], n_samples))
+    if key is not None:
+        z_vals = z_vals + jax.random.uniform(key, z_vals.shape) * \
+            ((far - near) / n_samples)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    out = jnp.logical_or(aabb[0] > pts, pts > aabb[1]).any(-1)
+    return pts, z_vals, jnp.logical_not(out)
+
+
 def sample_alpha_mask(alpha_volume: jnp.ndarray, alpha_aabb: jnp.ndarray,
                       xyz: jnp.ndarray) -> jnp.ndarray:
     """Trilinear alpha-mask lookup (AlphaGridMask, tensorBase.py:39-59).
@@ -307,14 +356,23 @@ class TensoRFOut(NamedTuple):
 def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
                     rays: jnp.ndarray, key: Optional[jax.Array] = None,
                     white_bg: bool = True, n_samples: Optional[int] = None,
-                    mlp_apply=None) -> TensoRFOut:
+                    mlp_apply=None, ndc_ray: bool = False) -> TensoRFOut:
     """Full TensoRF forward on rays [N, 6(+1 far)] (tensorBase.py:476-536)."""
     n_s = n_samples or geom.n_samples
     rays_o, viewdirs = rays[:, :3], rays[:, 3:6]
-    pts, z_vals, valid = sample_ray(buffers["aabb"], rays_o, viewdirs,
-                                    geom.step_size, n_s, cfg.near_far, key)
-    dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
-                             jnp.zeros_like(z_vals[:, :1])], axis=-1)
+    if ndc_ray:
+        pts, z_vals, valid = sample_ray_ndc(buffers["aabb"], rays_o, viewdirs,
+                                            n_s, cfg.near_far, key)
+        dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
+                                 jnp.zeros_like(z_vals[:, :1])], axis=-1)
+        norm = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        dists = dists * norm
+        viewdirs = viewdirs / norm
+    else:
+        pts, z_vals, valid = sample_ray(buffers["aabb"], rays_o, viewdirs,
+                                        geom.step_size, n_s, cfg.near_far, key)
+        dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
+                                 jnp.zeros_like(z_vals[:, :1])], axis=-1)
     if buffers.get("alpha_volume") is not None:
         alphas = sample_alpha_mask(buffers["alpha_volume"], buffers["alpha_aabb"], pts)
         valid = jnp.logical_and(valid, alphas > 0)
@@ -441,6 +499,14 @@ def upsample_volume_grid(cfg: TensoRFConfig, params, res_target: Sequence[int]):
             new[f"{name}_line"] = tuple(
                 _resize_line(params[f"{name}_line"][i], res[VEC_MODE[i]])
                 for i in range(3))
+    elif cfg.decomp == "vm":
+        new["vm_plane"] = tuple(
+            _resize_align_corners(params["vm_plane"][i],
+                                  (res[MAT_MODE[i][1]], res[MAT_MODE[i][0]]))
+            for i in range(3))
+        new["vm_line"] = tuple(
+            _resize_line(params["vm_line"][i], res[VEC_MODE[i]])
+            for i in range(3))
     else:
         for name in ("density", "app"):
             new[f"{name}_line"] = tuple(
@@ -473,6 +539,15 @@ def shrink(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
                                            t_l[MAT_MODE[i][1]]:b_r[MAT_MODE[i][1]],
                                            t_l[MAT_MODE[i][0]]:b_r[MAT_MODE[i][0]]]
                 for i in range(3))
+    elif cfg.decomp == "vm":
+        new["vm_line"] = tuple(
+            params["vm_line"][i][:, t_l[VEC_MODE[i]]:b_r[VEC_MODE[i]]]
+            for i in range(3))
+        new["vm_plane"] = tuple(
+            params["vm_plane"][i][:,
+                                  t_l[MAT_MODE[i][1]]:b_r[MAT_MODE[i][1]],
+                                  t_l[MAT_MODE[i][0]]:b_r[MAT_MODE[i][0]]]
+            for i in range(3))
     else:
         for name in ("density", "app"):
             new[f"{name}_line"] = tuple(
@@ -502,12 +577,15 @@ def shrink(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
 def vector_comp_diffs(params) -> jnp.ndarray:
     """Mean |off-diagonal| of line-factor Gram matrices (tensoRF.py:177-189)."""
     total = 0.0
-    for key in ("density_line", "app_line"):
-        for v in params[key]:
-            n_comp = v.shape[0]
-            dotp = v @ v.T
-            off = dotp - jnp.diag(jnp.diag(dotp))
-            total = total + jnp.abs(off).sum() / (n_comp * (n_comp - 1))
+    if "vm_line" in params:
+        lines = tuple(params["vm_line"])
+    else:
+        lines = tuple(params["density_line"]) + tuple(params["app_line"])
+    for v in lines:
+        n_comp = v.shape[0]
+        dotp = v @ v.T
+        off = dotp - jnp.diag(jnp.diag(dotp))
+        total = total + jnp.abs(off).sum() / (n_comp * (n_comp - 1))
     return total
 
 
@@ -518,6 +596,11 @@ def density_L1(cfg: TensoRFConfig, params) -> jnp.ndarray:
         for i in range(3):
             total = total + jnp.abs(params["density_plane"][i]).mean() \
                 + jnp.abs(params["density_line"][i]).mean()
+    elif cfg.decomp == "vm":
+        D = cfg.density_n_comp[0]
+        for i in range(3):
+            total = total + jnp.abs(params["vm_plane"][i][-D:]).mean() \
+                + jnp.abs(params["vm_line"][i][-D:]).mean()
     else:
         for i in range(3):
             total = total + jnp.abs(params["density_line"][i]).mean()
@@ -540,6 +623,10 @@ def tv_loss_density(cfg: TensoRFConfig, params) -> jnp.ndarray:
     if cfg.decomp == "vm_split":
         for p in params["density_plane"]:
             total = total + tv_loss_2d(p) * 1e-2
+    elif cfg.decomp == "vm":
+        D = cfg.density_n_comp[0]
+        for p in params["vm_plane"]:
+            total = total + tv_loss_2d(p[-D:]) * 1e-2
     else:
         for v in params["density_line"]:
             total = total + tv_loss_2d(v[:, :, None]) * 1e-3
@@ -552,6 +639,10 @@ def tv_loss_app(cfg: TensoRFConfig, params) -> jnp.ndarray:
     if cfg.decomp == "vm_split":
         for p in params["app_plane"]:
             total = total + tv_loss_2d(p) * 1e-2
+    elif cfg.decomp == "vm":
+        A = cfg.app_n_comp[0]
+        for p in params["vm_plane"]:
+            total = total + tv_loss_2d(p[:A]) * 1e-2
     else:
         for v in params["app_line"]:
             total = total + tv_loss_2d(v[:, :, None]) * 1e-3

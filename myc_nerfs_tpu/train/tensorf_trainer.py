@@ -70,9 +70,14 @@ def n_voxel_schedule(cfg: TensoRFTrainConfig) -> List[int]:
         np.log(cfg.n_voxel_init), np.log(cfg.n_voxel_final), n))][1:]
 
 
+_NET_KEYS = ("basis_mat", "mlp", "bg_net", "normal_linear", "diffuse_linear",
+             "specular_linear", "rho_linear")
+
+
 def _label_params(params) -> Dict[str, Any]:
-    return {k: ("net" if k in ("basis_mat", "mlp") else "spatial")
-            for k in params}
+    """Factor grids at lr_init; MLP/basis/heads at lr_basis (tensoRF.py:
+    168-174, REFTensoRF.py:100-108, nerfplusplus.py:173-176)."""
+    return {k: ("net" if k in _NET_KEYS else "spatial") for k in params}
 
 
 def make_optimizer(cfg: TensoRFTrainConfig, params, lr_scale: float = 1.0):
@@ -89,16 +94,23 @@ def make_optimizer(cfg: TensoRFTrainConfig, params, lr_scale: float = 1.0):
 
 def make_train_step(model_cfg: tf.TensoRFConfig, cfg: TensoRFTrainConfig,
                     geom: tf.StageGeom, tx, buffers, lr_factor: float,
-                    extra_loss_fn=None):
+                    extra_loss_fn=None, forward_fn=None):
     """One jitted SGD step over a ray batch. ``buffers`` is closed over
     (constant within a stage). extra_loss_fn(params, out) -> scalar lets
-    Ref-NeRF add its normal-orientation penalty (REFTensoRF.py:236-238)."""
+    Ref-NeRF add its normal-orientation penalty (REFTensoRF.py:236-238);
+    forward_fn swaps the model forward (Ref-NeRF / NeRF++ variants) with the
+    same signature as tensorf_forward minus mlp_apply."""
 
     mlp_apply = tf.make_render_mlp(model_cfg).apply
 
+    def default_forward(mc, g, params, bufs, rays, key, white_bg):
+        return tf.tensorf_forward(mc, g, params, bufs, rays, key,
+                                  white_bg=white_bg, mlp_apply=mlp_apply)
+
+    fwd = forward_fn or default_forward
+
     def loss_fn(params, rays, rgbs, key, step):
-        out = tf.tensorf_forward(model_cfg, geom, params, buffers, rays, key,
-                                 white_bg=cfg.white_bg, mlp_apply=mlp_apply)
+        out = fwd(model_cfg, geom, params, buffers, rays, key, cfg.white_bg)
         mse = jnp.mean((out.rgb_map - rgbs) ** 2)
         total = mse
         if cfg.ortho_weight > 0:
@@ -151,10 +163,11 @@ class TensoRFTrainer:
     """Host-side stage orchestrator: owns params/buffers across jit stages."""
 
     def __init__(self, model_cfg: tf.TensoRFConfig, cfg: TensoRFTrainConfig,
-                 aabb, key: jax.Array, extra_loss_fn=None):
+                 aabb, key: jax.Array, extra_loss_fn=None, forward_fn=None):
         self.model_cfg = model_cfg
         self.cfg = cfg
         self.extra_loss_fn = extra_loss_fn
+        self.forward_fn = forward_fn
         reso = n_to_reso(cfg.n_voxel_init, np.asarray(aabb))
         self.geom = tf.compute_stage_geom(model_cfg, np.asarray(aabb), reso,
                                           cfg.n_samples_cap)
@@ -168,7 +181,7 @@ class TensoRFTrainer:
         self.opt_state = self.tx.init(self.params)
         self.step_fn = make_train_step(self.model_cfg, self.cfg, self.geom,
                                        self.tx, self.buffers, self.lr_factor,
-                                       self.extra_loss_fn)
+                                       self.extra_loss_fn, self.forward_fn)
 
     def train(self, all_rays: jnp.ndarray, all_rgbs: jnp.ndarray,
               n_iters: Optional[int] = None, key: Optional[jax.Array] = None,
@@ -238,16 +251,62 @@ class TensoRFTrainer:
         pad = (-n) % chunk
         rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
 
+        fwd = self.forward_fn
+
         @jax.jit
         def render_chunk(r):
-            out = tf.tensorf_forward(self.model_cfg, self.geom, self.params,
-                                     self.buffers, r, None,
-                                     white_bg=self.cfg.white_bg,
-                                     mlp_apply=mlp_apply)
+            if fwd is not None:
+                out = fwd(self.model_cfg, self.geom, self.params,
+                          self.buffers, r, None, self.cfg.white_bg)
+            else:
+                out = tf.tensorf_forward(self.model_cfg, self.geom, self.params,
+                                         self.buffers, r, None,
+                                         white_bg=self.cfg.white_bg,
+                                         mlp_apply=mlp_apply)
             return out.rgb_map, out.depth_map
 
         rgbs, depths = jax.lax.map(render_chunk, rays_p.reshape(-1, chunk, rays.shape[-1]))
         return rgbs.reshape(-1, 3)[:n], depths.reshape(-1)[:n]
+
+
+def evaluation(trainer: "TensoRFTrainer", poses: jnp.ndarray,
+               intr: jnp.ndarray, images: jnp.ndarray, out_dir: str,
+               prefix: str = "", chunk: int = 4096,
+               compute_extra_metrics: bool = True):
+    """Full-image eval loop: PSNR (+SSIM), PNG + depth dumps, mean.txt.
+
+    Ref: tensorf-myc/renderer.py:30-148 (evaluation()).
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from ..utils.metrics import psnr as psnr_fn, ssim as ssim_fn
+
+    os.makedirs(out_dir, exist_ok=True)
+    H, W = images.shape[1:3]
+    psnrs, ssims = [], []
+    for i in range(poses.shape[0]):
+        rays = build_ray_store(poses[i:i + 1], intr[i:i + 1], H, W)
+        rgb, depth = trainer.render_rays(rays, chunk=chunk)
+        rgb = rgb.reshape(H, W, 3)
+        p = float(psnr_fn(rgb, images[i]))
+        psnrs.append(p)
+        if compute_extra_metrics:
+            ssims.append(float(ssim_fn(rgb, images[i])))
+        Image.fromarray((np.asarray(jnp.clip(rgb, 0, 1)) * 255).astype(np.uint8)
+                        ).save(os.path.join(out_dir, f"{prefix}{i:03d}.png"))
+        from ..evaluation.visualization import visualize_depth
+
+        dimg, _ = visualize_depth(np.asarray(depth).reshape(H, W))
+        Image.fromarray((dimg * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{prefix}{i:03d}_depth.png"))
+    with open(os.path.join(out_dir, "mean.txt"), "w") as f:
+        f.write(f"psnr {float(np.mean(psnrs))}\n")
+        if ssims:
+            f.write(f"ssim {float(np.mean(ssims))}\n")
+    return psnrs, ssims
 
 
 def build_ray_store(poses: jnp.ndarray, intr: jnp.ndarray, H: int, W: int):
