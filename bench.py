@@ -25,8 +25,10 @@ def main():
     from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, render_rays_ngp
     from myc_nerfs_tpu.render import occupancy as occ
 
-    model_cfg = NGPModelConfig(grid=HashGridConfig())  # full 16x2 grid, 2^19 cap
-    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=256, n_samples=32)
+    # TPU-tuned NGP config: 8 levels x 4 features (same 32-dim encoding,
+    # half the gather rows; measured PSNR-neutral-or-better — PERF_NOTES.md)
+    model_cfg = NGPModelConfig(grid=HashGridConfig(n_levels=8, n_features=4))
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=32)
     occ_cfg = occ.OccupancyConfig()
     model = NGPModel(model_cfg)
     params = model.init(jax.random.PRNGKey(0))

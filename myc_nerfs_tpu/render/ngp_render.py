@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from .composite import composite_rgb, composite_weights
-from .occupancy import OccupancyConfig, OccupancyState, mip_from_pos, occupied_at
+from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
+                        occupied_at, occupied_at_mip0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,13 +80,19 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     tmin, tmax = ray_aabb_range(rcfg, rays_o, rays_d)
     span = tmax - tmin
 
+    single_mip = rcfg.aabb_scale == 1  # static: skip cascade math entirely
+
+    def lookup(pos):
+        if single_mip:
+            return occupied_at_mip0(occ_cfg, bitfield, pos)
+        return occupied_at(occ_cfg, bitfield, pos, mip_from_pos(occ_cfg, pos))
+
     # --- pass 1: coarse occupancy probe
     Mc = rcfg.n_coarse
     frac = (jnp.arange(Mc, dtype=jnp.float32) + 0.5) / Mc
     tc = tmin[:, None] + span[:, None] * frac[None, :]
     pos_c = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
-    mip = mip_from_pos(occ_cfg, pos_c)
-    occ_c = occupied_at(occ_cfg, bitfield, pos_c, mip)
+    occ_c = lookup(pos_c)
     big = jnp.float32(1e10)
     t_lo = jnp.min(jnp.where(occ_c, tc, big), axis=1)
     t_hi = jnp.max(jnp.where(occ_c, tc, -big), axis=1)
@@ -104,8 +111,7 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
         offs = offs + 0.5
     t = t_lo[:, None] + dt[:, None] * offs
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-    mip_f = mip_from_pos(occ_cfg, pos)
-    occ_f = occupied_at(occ_cfg, bitfield, pos, mip_f)
+    occ_f = lookup(pos)
     lo, hi = rcfg.aabb
     inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
     valid = occ_f & inbox & any_occ[:, None]

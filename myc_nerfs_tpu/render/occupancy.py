@@ -233,3 +233,14 @@ def occupied_at(cfg: OccupancyConfig, bitfield: jnp.ndarray,
     p = (pos - 0.5) * mip_scale + 0.5
     i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
     return bitfield[mip, i[..., 0], i[..., 1], i[..., 2]]
+
+
+def occupied_at_mip0(cfg: OccupancyConfig, bitfield: jnp.ndarray,
+                     pos: jnp.ndarray) -> jnp.ndarray:
+    """Fast path for single-cascade scenes (aabb_scale=1): a flattened
+    one-gather lookup with no mip math — the march is gather-bound on TPU
+    (PERF_NOTES.md), so avoiding the 4D index + exp2 helps."""
+    G = cfg.grid_size
+    i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
+    flat = bitfield[0].reshape(-1)
+    return flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]

@@ -131,10 +131,14 @@ def compose_refined_pose(cfg: NeRFTrainConfig, state: NeRFTrainState,
 
 def init_state(cfg: NeRFTrainConfig, key: jax.Array, n_images: int) -> Tuple[NeRFMLP, NeRFTrainState]:
     model = build_model(cfg)
-    k_param, k_noise = jax.random.split(key)
+    k_param, k_noise, k_fine = jax.random.split(key, 3)
     pts = jnp.zeros((1, 1, cfg.sample_intvs, 3))
     dirs = jnp.zeros_like(pts) if cfg.view_dep else None
     params = model.init(k_param, pts, dirs)
+    if cfg.fine_sampling:
+        # hierarchical fine NeRF: a second network of the same arch
+        # (define_network fine branch, nerf.py:203-209)
+        params = {"coarse": params, "fine": model.init(k_fine, pts, dirs)}
     se3_refine = jnp.zeros((n_images, 6))
     pose_noise = (cfg.camera_noise * jax.random.normal(k_noise, (n_images, 6))
                   if cfg.camera_noise else jnp.zeros((n_images, 6)))
@@ -165,7 +169,7 @@ def make_train_step(cfg: NeRFTrainConfig, model: NeRFMLP,
     bg = jnp.full((3,), cfg.bgcolor) if cfg.setbg_opaque else None
 
     def loss_fn(params, se3_refine, state, key):
-        k_idx, k_depth = jax.random.split(key)
+        k_idx, k_depth, k_noise = jax.random.split(key, 3)
         ray_idx = jax.random.randint(k_idx, (rays_per_image,), 0, H * W)
         state = state._replace(se3_refine=se3_refine)
         poses = compose_refined_pose(cfg, state, poses_gt)
@@ -174,15 +178,34 @@ def make_train_step(cfg: NeRFTrainConfig, model: NeRFMLP,
         center, ray = rays_lib.get_center_and_ray(poses, intr, H, W,
                                                   xy_grid=grid[ray_idx])
 
-        def apply_fn(points, ray_unit):
-            return model.apply(params, points, ray_unit,
-                               progress=progress, c2f=cfg.c2f)
+        def make_apply(p):
+            def apply_fn(points, ray_unit):
+                return model.apply(p, points, ray_unit, progress=progress,
+                                   c2f=cfg.c2f,
+                                   density_noise=cfg.density_noise_reg,
+                                   noise_key=(k_noise if cfg.density_noise_reg
+                                              else None))
+            return apply_fn
 
-        out = render_rays_mlp(apply_fn, center, ray, k_depth,
+        target = pixels[:, ray_idx]
+        if cfg.fine_sampling:
+            # coarse loss + fine loss (loss_weight.render_fine, nerf.py:228-240)
+            out_c = render_rays_mlp(make_apply(params["coarse"]), center, ray,
+                                    k_depth, cfg.sample_intvs, cfg.depth_range,
+                                    stratified=cfg.sample_stratified,
+                                    bg_color=bg, view_dep=cfg.view_dep)
+            out_f = render_rays_mlp(make_apply(params["coarse"]), center, ray,
+                                    k_depth, cfg.sample_intvs, cfg.depth_range,
+                                    stratified=cfg.sample_stratified,
+                                    bg_color=bg, view_dep=cfg.view_dep,
+                                    fine_apply_fn=make_apply(params["fine"]),
+                                    n_samples_fine=cfg.sample_intvs_fine)
+            loss = img2mse(out_c.rgb, target) + img2mse(out_f.rgb, target)
+            return loss, mse2psnr(img2mse(out_f.rgb, target))
+        out = render_rays_mlp(make_apply(params), center, ray, k_depth,
                               cfg.sample_intvs, cfg.depth_range,
                               stratified=cfg.sample_stratified, bg_color=bg,
                               view_dep=cfg.view_dep)
-        target = pixels[:, ray_idx]
         loss = img2mse(out.rgb, target)
         return loss, mse2psnr(loss)
 
@@ -214,6 +237,8 @@ def render_validation(cfg: NeRFTrainConfig, model: NeRFMLP, params,
                       chunk: int = 2048):
     """Full-image deterministic render (validate(), base.py:131-148)."""
     bg = jnp.full((3,), cfg.bgcolor) if cfg.setbg_opaque else None
+    if cfg.fine_sampling and isinstance(params, dict) and "fine" in params:
+        params = params["fine"]
 
     def apply_fn(points, ray_unit):
         return model.apply(params, points, ray_unit, progress=jnp.float32(1.0),
