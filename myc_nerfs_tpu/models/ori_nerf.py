@@ -85,6 +85,7 @@ class OriginNeRFConfig:
     multires_pos: int = 10
     multires_dir: int = 4
     use_bf16: bool = False
+    use_fused: bool = False  # route the backbone through the Pallas fused MLP
 
 
 class OriginNeRFModel:
@@ -102,8 +103,48 @@ class OriginNeRFModel:
         return {"mlp": self.net.init(key, jnp.zeros((1, 3)), jnp.zeros((1, 3)))}
 
     def apply(self, params, positions: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.use_fused and not self.cfg.skips:
+            return self._apply_fused(params, positions, dirs)
         return self.net.apply(params["mlp"], positions,
                               dirs * 2.0 - 1.0).astype(jnp.float32)
+
+    def _apply_fused(self, params, positions, dirs) -> jnp.ndarray:
+        """Backbone via the Pallas fused kernel (ops/pallas/fused_mlp.py) —
+        the FullyFusedMLP-style fast path, for skip-free configs (the kernel
+        is a pure layer chain). Head layers stay in XLA.
+
+        The kernel is bias-free, so each layer's bias is folded in with the
+        augmented-ones trick: x@W + b == [x, 1] @ [[W, 0], [b, 1]]. The unit
+        column carries the 1 through every layer (relu(1) == 1).
+        """
+        from ..ops.pallas.fused_mlp import fused_mlp
+
+        p = params["mlp"]["params"]
+        dtype = jnp.bfloat16 if self.cfg.use_bf16 else jnp.float32
+        pos_enc = freq_encode(positions, self.cfg.multires_pos)
+        dir_enc = freq_encode(dirs * 2.0 - 1.0, self.cfg.multires_dir)
+
+        ws = []
+        for i in range(self.cfg.D):
+            k = p[f"pts_{i}"]["kernel"].astype(dtype)
+            b = p[f"pts_{i}"]["bias"].astype(dtype)
+            W_aug = jnp.concatenate([k, b[None, :]], axis=0)          # [in+1, out]
+            unit = jnp.zeros((W_aug.shape[0], 1), dtype).at[-1, 0].set(1.0)
+            ws.append(jnp.concatenate([W_aug, unit], axis=1))          # [in+1, out+1]
+        x = jnp.concatenate([pos_enc, jnp.ones(pos_enc.shape[:-1] + (1,))],
+                            -1).astype(dtype)
+        # the backbone applies relu after EVERY layer; fused_mlp skips the
+        # final relu, so reapply it (the ones column is dropped regardless)
+        h = jax.nn.relu(fused_mlp(x, tuple(ws))[..., :-1].astype(jnp.float32))
+
+        def lin(name, v):
+            return v @ p[name]["kernel"] + p[name]["bias"]
+
+        alpha = lin("alpha", h)
+        feature = lin("feature", h)
+        hh = jax.nn.relu(lin("views_0", jnp.concatenate([feature, dir_enc], -1)))
+        rgb = lin("rgb", hh)
+        return jnp.concatenate([rgb, alpha], -1).astype(jnp.float32)
 
     def density_raw(self, params, positions: jnp.ndarray) -> jnp.ndarray:
         return self.net.apply(params["mlp"], positions,
