@@ -88,14 +88,14 @@ def load_rays(a: dict):
         rays = tt.build_ray_store(scene.poses, scene.intr, H, W)
         rgbs = scene.images.reshape(-1, 3)
         aabb = _bbox(a, [[-1.2] * 3, [1.2] * 3])
-        return rays, rgbs, aabb
+        return rays, rgbs, aabb, (H, W)
     from ..data import blender
 
     scene = blender.load_blender_split(a["datadir"], "train",
                                        downsample=a.get("downsample_train", 1.0))
     rays, rgbs = blender.tensorf_ray_store(scene,
                                            bg=1.0 if a.get("white_bkgd", True) else 0.0)
-    return rays, rgbs, _bbox(a, [[-1.5] * 3, [1.5] * 3])
+    return rays, rgbs, _bbox(a, [[-1.5] * 3, [1.5] * 3]), (scene.H, scene.W)
 
 
 def _bbox(a: dict, default) -> np.ndarray:
@@ -108,8 +108,12 @@ def main(argv: Optional[list] = None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("--render_only", type=int, default=0)
+    parser.add_argument("--render_path", type=int, default=0)
     parser.add_argument("--export_mesh", type=int, default=0)
     parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--resume", type=int, default=0,
+                        help="resume training from --ckpt/default ckpt "
+                             "(opt state + global_step restored)")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--n_iters", type=int, default=0)
     args = parser.parse_args(argv)
@@ -124,7 +128,7 @@ def main(argv: Optional[list] = None):
     os.makedirs(out_dir, exist_ok=True)
     writer = MetricWriter(out_dir)
 
-    rays, rgbs, aabb = load_rays(a)
+    rays, rgbs, aabb, train_hw = load_rays(a)
     model_name = a.get("model_name", "TensorVMSplit")
 
     # variant wiring: swap the model forward + extra loss (train.py:253-257)
@@ -181,9 +185,12 @@ def main(argv: Optional[list] = None):
             log.info(f"render_test: mean psnr {np.mean(psnrs):.2f} "
                      f"ssim {np.mean(ssims):.3f}")
         else:
-            rgb, depth = trainer.render_rays(rays[:4096])
-            log.info(f"rendered {rgb.shape[0]} rays; psnr vs train rays "
-                     f"{float(psnr(rgb, rgbs[:4096])):.2f}")
+            # render_test (tensorf-myc/train.py:62-106): render the TEST
+            # split (zero-image JSONs supported) into imgs_test_all/ — this
+            # is what the competition driver ships to result/.
+            render_test_split(a, trainer, out_dir, fallback_hw=train_hw)
+        if args.render_path:
+            render_novel_path(a, trainer, out_dir, fallback_hw=train_hw)
         return out_dir
     if args.export_mesh:
         restore_tensorf_ckpt(ckpt, trainer)
@@ -206,38 +213,126 @@ def main(argv: Optional[list] = None):
         log.info("mesh exported")
         return out_dir
 
-    m = trainer.train(rays, rgbs, log_every=500)
+    n_total = train_cfg.n_iters
+    if args.resume and os.path.exists(ckpt):
+        restore_tensorf_ckpt(ckpt, trainer, for_training=True)
+        log.info(f"resumed training @ step {trainer.global_step}")
+    remaining = max(0, n_total - trainer.global_step)
+    m = trainer.train(rays, rgbs, n_iters=remaining, log_every=500)
     save_tensorf_ckpt(ckpt, trainer, model_name)
-    writer.scalar("train/psnr", float(m["psnr"]), trainer.global_step)
-    log.info(f"final psnr {float(m['psnr']):.2f} -> {ckpt}")
+    if m:
+        writer.scalar("train/psnr", float(m["psnr"]), trainer.global_step)
+        log.info(f"final psnr {float(m['psnr']):.2f} -> {ckpt}")
     return out_dir
+
+
+def render_test_split(a: dict, trainer, out_dir: str, fallback_hw=None):
+    """render_test on real data (tensorf-myc/train.py:62-106): render the
+    test split's poses into imgs_test_all/, with PSNR only when GT exists.
+    GT-less splits render at the train split's resolution (the reference's
+    img_wh comes from the dataset constructor, dataLoader/blender.py:19-21)."""
+    from ..data import blender
+    from ..geom import conventions, rays as rays_lib
+
+    scene = blender.load_blender_split(a["datadir"], "test",
+                                       downsample=a.get("downsample_test", 1.0),
+                                       require_images=False)
+    if scene.images.shape[0] == 0 and fallback_hw is not None:
+        H, W = fallback_hw
+        scene = dataclasses_replace_scene(scene, H, W)
+    else:
+        H, W = scene.H, scene.W
+    c2w_cv = np.asarray(conventions.blender2opencv(jnp.asarray(scene.c2w)))
+    dirs = rays_lib.get_ray_directions(H, W, scene.focal)
+
+    def ray_fn(i):
+        o, d = rays_lib.get_rays_from_directions(dirs, jnp.asarray(c2w_cv[i, :3]))
+        return jnp.concatenate([o, d], -1)
+
+    images = (blender.blend_background(
+        scene, bg=1.0 if a.get("white_bkgd", True) else 0.0)
+        if scene.images.shape[0] else None)
+    psnrs, ssims = tt.evaluation(
+        trainer, jnp.asarray(scene.c2w), None, images,
+        os.path.join(out_dir, "imgs_test_all"), H=H, W=W, ray_fn=ray_fn)
+    if psnrs:
+        log.info(f"render_test: mean psnr {np.mean(psnrs):.2f}")
+    else:
+        log.info(f"render_test: {scene.c2w.shape[0]} GT-less test views "
+                 f"-> {out_dir}/imgs_test_all")
+
+
+def dataclasses_replace_scene(scene, H: int, W: int):
+    """Re-dimension a GT-less scene: focal rescales with W (focal =
+    0.5*W/tan(camera_angle_x/2), dataLoader/blender.py:73)."""
+    import dataclasses as _dc
+
+    focal = 0.5 * W / np.tan(0.5 * scene.camera_angle_x)
+    return _dc.replace(scene, H=H, W=W, focal=float(focal))
+
+
+def render_novel_path(a: dict, trainer, out_dir: str, fallback_hw=None):
+    """Novel-view orbit video (tensorf-myc/renderer.py:91-148).
+
+    Blender scenes have no shipped render path; orbit like the jnerf demo
+    (camera_path.py) at the train split's focal length.
+    """
+    from ..data import blender
+    from ..geom import conventions
+    from ..geom.camera_path import path_spherical
+
+    scene = blender.load_blender_split(a["datadir"], "test",
+                                       require_images=False)
+    if scene.images.shape[0] == 0 and fallback_hw is not None:
+        scene = dataclasses_replace_scene(scene, *fallback_hw)
+    orbit = path_spherical(a.get("render_path_frames", 40),
+                           radius=float(np.linalg.norm(scene.c2w[0][:3, 3])))
+    c2ws = np.stack([np.concatenate([m, [[0, 0, 0, 1.0]]], 0) for m in orbit])
+    c2ws_cv = np.asarray(conventions.blender2opencv(jnp.asarray(c2ws)))
+    tt.evaluation_path(trainer, c2ws_cv, scene.H, scene.W, scene.focal,
+                       os.path.join(out_dir, "imgs_path_all"))
+    log.info(f"render_path -> {out_dir}/imgs_path_all/video.mp4")
 
 
 def save_tensorf_ckpt(ckpt: str, trainer, model_name: str):
     """Checkpoint incl. model kwargs needed to rebuild the stage (grid size,
-    aabb, alpha volume) — tensorf's get_kwargs scheme (tensorBase.py:253-272)."""
+    aabb, alpha volume) — tensorf's get_kwargs scheme (tensorBase.py:253-272)
+    — plus optimizer state + lr_scale + global_step so training resumes with
+    schedule continuity (train.py:147-164,186-190,336-360)."""
     state = {"params": trainer.params,
              "alpha_volume": (trainer.buffers["alpha_volume"]
                               if trainer.buffers.get("alpha_volume") is not None
                               else jnp.zeros((0, 0, 0))),
              "alpha_aabb": trainer.buffers["alpha_aabb"],
-             "aabb": trainer.buffers["aabb"]}
+             "aabb": trainer.buffers["aabb"],
+             "opt_state": trainer.opt_state}
     save_checkpoint(ckpt, state, step=trainer.global_step,
                     meta={"model_name": model_name,
-                          "grid_size": list(trainer.geom.grid_size)})
+                          "grid_size": list(trainer.geom.grid_size),
+                          "lr_scale": trainer.lr_scale,
+                          "global_step": trainer.global_step,
+                          "has_opt_state": True})
 
 
-def restore_tensorf_ckpt(ckpt: str, trainer):
-    """Rebuild the trainer at the checkpoint's stage then restore weights."""
+def restore_tensorf_ckpt(ckpt: str, trainer, for_training: bool = False):
+    """Rebuild the trainer at the checkpoint's stage then restore weights.
+
+    ``for_training=True`` additionally restores optimizer state, lr_scale and
+    global_step (the reference resumes per-group lr + step so the decay
+    schedule and stage boundaries continue, train.py:147-164,186-190)."""
     import json
 
     meta = json.load(open(ckpt + ".json"))
     gs = meta["grid_size"]
     trainer.params = tfm.upsample_volume_grid(trainer.model_cfg, trainer.params, gs)
+    lr_scale = meta.get("lr_scale", 1.0)
+    trainer._rebuild(lr_scale=lr_scale)  # shapes opt_state for the stage
     target = {"params": trainer.params,
               "alpha_volume": jnp.zeros((0, 0, 0)),
               "alpha_aabb": trainer.buffers["alpha_aabb"],
               "aabb": trainer.buffers["aabb"]}
+    if meta.get("has_opt_state"):
+        target["opt_state"] = trainer.opt_state
     try:
         state, _ = restore_checkpoint(ckpt, target)
     except ValueError:
@@ -253,7 +348,15 @@ def restore_tensorf_ckpt(ckpt: str, trainer):
     trainer.geom = tfm.compute_stage_geom(
         trainer.model_cfg, np.asarray(state["aabb"]), gs,
         trainer.cfg.n_samples_cap)
-    trainer._rebuild(lr_scale=1.0)
+    trainer._rebuild(lr_scale=lr_scale)
+    if for_training:
+        if "opt_state" in state:
+            trainer.opt_state = state["opt_state"]
+        trainer.global_step = int(meta.get("global_step", 0))
+        # advance the voxel schedule past already-consumed upsample events
+        n_done = sum(1 for s in trainer.cfg.upsamp_list
+                     if s <= trainer.global_step)
+        trainer.voxel_schedule = trainer.voxel_schedule[n_done:]
     return trainer
 
 

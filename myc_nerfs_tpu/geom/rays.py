@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .pose import cam2world, img2cam, to_hom
 
@@ -62,7 +63,7 @@ def get_ray_directions(H: int, W: int, focal, center=None, blender: bool = False
     ``blender=False`` -> OpenCV-style +z forward (ray_utils.py:81-103);
     ``blender=True``  -> Blender-style -z forward, +y up (ray_utils.py:106-129).
     """
-    fx, fy = (focal, focal) if jnp.ndim(focal) == 0 else (focal[0], focal[1])
+    fx, fy = (focal, focal) if np.ndim(focal) == 0 else (focal[0], focal[1])
     cx, cy = (W / 2.0, H / 2.0) if center is None else (center[0], center[1])
     j, i = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
                         jnp.arange(W, dtype=jnp.float32) + 0.5, indexing="ij")

@@ -16,8 +16,9 @@ TPU-native re-implementation of jnerf-myc's NGP stack:
   bf16 XLA dots here and to the Pallas fused kernel in
   ops/pallas/fused_mlp.py for the hot path.
 
-A Pallas gather kernel for the encode is in ops/pallas/hash_grid.py; this
-module is the pure-XLA reference implementation (tests compare the two).
+This module is the pure-XLA reference implementation of the encode; the
+TPU-fast path (brick-packed tables, wide-row gathers) lives in
+ops/brick_grid.py and tests compare the two.
 """
 from __future__ import annotations
 

@@ -174,14 +174,17 @@ class TensoRFTrainer:
         self.params, self.buffers = tf.init_tensorf(key, model_cfg, aabb, reso)
         self.voxel_schedule = n_voxel_schedule(cfg)
         self.global_step = 0
+        self.lr_scale = 1.0
         self._rebuild(lr_scale=1.0)
 
     def _rebuild(self, lr_scale: float):
+        self.lr_scale = lr_scale
         self.tx, self.lr_factor = make_optimizer(self.cfg, self.params, lr_scale)
         self.opt_state = self.tx.init(self.params)
         self.step_fn = make_train_step(self.model_cfg, self.cfg, self.geom,
                                        self.tx, self.buffers, self.lr_factor,
                                        self.extra_loss_fn, self.forward_fn)
+        self._render_chunk = None  # stage changed: drop the cached renderer
 
     def train(self, all_rays: jnp.ndarray, all_rgbs: jnp.ndarray,
               n_iters: Optional[int] = None, key: Optional[jax.Array] = None,
@@ -245,37 +248,53 @@ class TensoRFTrainer:
         return metrics
 
     def render_rays(self, rays: jnp.ndarray, chunk: int = 4096):
-        """Chunked eval render (OctreeRender_trilinear_fast, renderer.py:12-27)."""
-        mlp_apply = tf.make_render_mlp(self.model_cfg).apply
+        """Chunked eval render (OctreeRender_trilinear_fast, renderer.py:12-27).
+
+        The jitted chunk renderer is cached per stage (params/buffers passed
+        as arguments) so repeated full-image renders don't recompile.
+        """
+        if self._render_chunk is None:
+            mlp_apply = tf.make_render_mlp(self.model_cfg).apply
+            fwd = self.forward_fn
+            model_cfg, geom, white_bg = self.model_cfg, self.geom, self.cfg.white_bg
+
+            @jax.jit
+            def render_all(params, buffers, rays_3d):
+                def one_chunk(r):
+                    if fwd is not None:
+                        out = fwd(model_cfg, geom, params, buffers, r, None,
+                                  white_bg)
+                    else:
+                        out = tf.tensorf_forward(model_cfg, geom, params,
+                                                 buffers, r, None,
+                                                 white_bg=white_bg,
+                                                 mlp_apply=mlp_apply)
+                    return out.rgb_map, out.depth_map
+
+                return jax.lax.map(one_chunk, rays_3d)
+
+            self._render_chunk = render_all
         n = rays.shape[0]
         pad = (-n) % chunk
         rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
-
-        fwd = self.forward_fn
-
-        @jax.jit
-        def render_chunk(r):
-            if fwd is not None:
-                out = fwd(self.model_cfg, self.geom, self.params,
-                          self.buffers, r, None, self.cfg.white_bg)
-            else:
-                out = tf.tensorf_forward(self.model_cfg, self.geom, self.params,
-                                         self.buffers, r, None,
-                                         white_bg=self.cfg.white_bg,
-                                         mlp_apply=mlp_apply)
-            return out.rgb_map, out.depth_map
-
-        rgbs, depths = jax.lax.map(render_chunk, rays_p.reshape(-1, chunk, rays.shape[-1]))
+        rgbs, depths = self._render_chunk(
+            self.params, self.buffers, rays_p.reshape(-1, chunk, rays.shape[-1]))
         return rgbs.reshape(-1, 3)[:n], depths.reshape(-1)[:n]
 
 
 def evaluation(trainer: "TensoRFTrainer", poses: jnp.ndarray,
-               intr: jnp.ndarray, images: jnp.ndarray, out_dir: str,
+               intr: jnp.ndarray, images, out_dir: str,
                prefix: str = "", chunk: int = 4096,
-               compute_extra_metrics: bool = True):
+               compute_extra_metrics: bool = True,
+               H: Optional[int] = None, W: Optional[int] = None,
+               ray_fn=None):
     """Full-image eval loop: PSNR (+SSIM), PNG + depth dumps, mean.txt.
 
-    Ref: tensorf-myc/renderer.py:30-148 (evaluation()).
+    Ref: tensorf-myc/renderer.py:30-148 (evaluation()). ``images`` may be
+    None or empty (test splits ship zero-image JSONs, dataLoader/
+    blender.py:108-113) — then H/W are required and no metrics are written.
+    ``ray_fn(i) -> [H*W, 6]`` overrides the default ray builder so callers
+    can supply blender2opencv-convention rays matching their train rays.
     """
     import os
 
@@ -285,16 +304,23 @@ def evaluation(trainer: "TensoRFTrainer", poses: jnp.ndarray,
     from ..utils.metrics import psnr as psnr_fn, ssim as ssim_fn
 
     os.makedirs(out_dir, exist_ok=True)
-    H, W = images.shape[1:3]
+    have_gt = images is not None and len(images) > 0
+    if have_gt:
+        H, W = images.shape[1:3]
+    assert H is not None and W is not None, "H/W required without GT images"
     psnrs, ssims = [], []
-    for i in range(poses.shape[0]):
-        rays = build_ray_store(poses[i:i + 1], intr[i:i + 1], H, W)
+    n_views = poses.shape[0]
+    for i in range(n_views):
+        if ray_fn is not None:
+            rays = ray_fn(i)
+        else:
+            rays = build_ray_store(poses[i:i + 1], intr[i:i + 1], H, W)
         rgb, depth = trainer.render_rays(rays, chunk=chunk)
         rgb = rgb.reshape(H, W, 3)
-        p = float(psnr_fn(rgb, images[i]))
-        psnrs.append(p)
-        if compute_extra_metrics:
-            ssims.append(float(ssim_fn(rgb, images[i])))
+        if have_gt and i < len(images):
+            psnrs.append(float(psnr_fn(rgb, images[i])))
+            if compute_extra_metrics:
+                ssims.append(float(ssim_fn(rgb, images[i])))
         Image.fromarray((np.asarray(jnp.clip(rgb, 0, 1)) * 255).astype(np.uint8)
                         ).save(os.path.join(out_dir, f"{prefix}{i:03d}.png"))
         from ..evaluation.visualization import visualize_depth
@@ -302,11 +328,48 @@ def evaluation(trainer: "TensoRFTrainer", poses: jnp.ndarray,
         dimg, _ = visualize_depth(np.asarray(depth).reshape(H, W))
         Image.fromarray((dimg * 255).astype(np.uint8)).save(
             os.path.join(out_dir, f"{prefix}{i:03d}_depth.png"))
-    with open(os.path.join(out_dir, "mean.txt"), "w") as f:
-        f.write(f"psnr {float(np.mean(psnrs))}\n")
-        if ssims:
-            f.write(f"ssim {float(np.mean(ssims))}\n")
+    if psnrs:
+        with open(os.path.join(out_dir, "mean.txt"), "w") as f:
+            f.write(f"psnr {float(np.mean(psnrs))}\n")
+            if ssims:
+                f.write(f"ssim {float(np.mean(ssims))}\n")
     return psnrs, ssims
+
+
+def evaluation_path(trainer: "TensoRFTrainer", c2ws, H: int, W: int,
+                    focal: float, out_dir: str, chunk: int = 4096,
+                    fps: int = 30, ray_fn=None):
+    """Novel-view video render along a camera path.
+
+    Ref: tensorf-myc/renderer.py:91-148 (evaluation_path): renders each c2w,
+    dumps PNG frames and an rgb+depth video (imageio mimwrite, fps 30).
+    """
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from ..evaluation.visualization import visualize_depth, write_video
+    from ..geom import rays as rays_lib
+
+    os.makedirs(out_dir, exist_ok=True)
+    dirs = rays_lib.get_ray_directions(H, W, focal)
+    frames = []
+    for i, c2w in enumerate(c2ws):
+        if ray_fn is not None:
+            rays = ray_fn(i)
+        else:
+            o, d = rays_lib.get_rays_from_directions(dirs, jnp.asarray(c2w)[:3])
+            rays = jnp.concatenate([o, d], -1)
+        rgb, depth = trainer.render_rays(rays, chunk=chunk)
+        rgb = np.asarray(jnp.clip(rgb, 0, 1)).reshape(H, W, 3)
+        dimg, _ = visualize_depth(np.asarray(depth).reshape(H, W))
+        frame = np.concatenate([rgb, dimg], axis=1)
+        frames.append(frame)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, f"{i:03d}.png"))
+    write_video(os.path.join(out_dir, "video.mp4"), frames, fps=fps)
+    return out_dir
 
 
 def build_ray_store(poses: jnp.ndarray, intr: jnp.ndarray, H: int, W: int):

@@ -61,6 +61,67 @@ class TestTensoRFCLI:
              "--n_iters", "10"])
         assert os.path.exists(os.path.join(out, "demo.ckpt"))
 
+    def test_train_resume_continues_schedule(self, in_tmp):
+        """Kill-and-resume: global_step + opt state restored, decay schedule
+        continues (ref train.py:147-164,186-190,336-360)."""
+        from myc_nerfs_tpu.cli import tensorf_train
+
+        cfg = os.path.join(REPO, "configs/tensorf/demo_synthetic.txt")
+        out = tensorf_train.main(["--config", cfg, "--n_iters", "6"])
+        meta = json.load(open(os.path.join(out, "demo.ckpt.json")))
+        assert meta["global_step"] == 6 and meta["has_opt_state"]
+        out2 = tensorf_train.main(["--config", cfg, "--n_iters", "12",
+                                   "--resume", "1"])
+        meta2 = json.load(open(os.path.join(out2, "demo.ckpt.json")))
+        assert meta2["global_step"] == 12
+
+    def test_render_test_split_real_data(self, in_tmp, tmp_path):
+        """--render_only renders the TEST split into imgs_test_all/ even when
+        the test JSON ships zero images (ref train.py:62-106)."""
+        import numpy as np
+        from PIL import Image
+
+        ds = tmp_path / "scene"
+        os.makedirs(ds / "train", exist_ok=True)
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(3):
+            arr = (rng.uniform(0, 1, (10, 10, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(ds / "train" / f"r_{i}.png")
+            c2w = np.eye(4)
+            c2w[:3, 3] = [0, 0, 2.5 + 0.2 * i]
+            frames.append({"file_path": f"./train/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        (ds / "transforms_train.json").write_text(
+            json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+        # GT-less test split (no PNG files on disk)
+        test_frames = [{"file_path": f"./test/r_{i}",
+                        "transform_matrix": frames[i]["transform_matrix"]}
+                       for i in range(2)]
+        (ds / "transforms_test.json").write_text(
+            json.dumps({"camera_angle_x": 0.8, "frames": test_frames}))
+
+        cfgp = tmp_path / "tiny.txt"
+        cfgp.write_text(
+            f"expname = tiny\nbasedir = ./log\ndatadir = {ds}\n"
+            "bbox = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]\n"
+            "n_iters = 4\nbatch_size = 64\nN_voxel_init = 4096\n"
+            "N_voxel_final = 4096\nupsamp_list = [100000]\n"
+            "update_AlphaMask_list = [100000]\nnSamples = 16\n"
+            "n_lamb_sigma = [2, 2, 2]\nn_lamb_sh = [4, 4, 4]\n"
+            "data_dim_color = 6\nfeatureC = 16\nmodel_name = TensorVMSplit\n")
+        from myc_nerfs_tpu.cli import tensorf_train
+
+        out = tensorf_train.main(["--config", str(cfgp)])
+        out = tensorf_train.main(["--config", str(cfgp), "--render_only", "1"])
+        pngs = os.listdir(os.path.join(out, "imgs_test_all"))
+        assert sum(p.endswith(".png") and "depth" not in p for p in pngs) == 2
+        # GT-less split renders at the train split's resolution
+        from PIL import Image as I
+
+        im = I.open(os.path.join(out, "imgs_test_all", "000.png"))
+        assert im.size == (10, 10)
+
 
 class TestRunNetCLI:
     def test_ngp_train_smoke(self, in_tmp):
