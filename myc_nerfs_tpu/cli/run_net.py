@@ -15,22 +15,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import components  # noqa: F401  (registers the type= factories)
 from ..core.checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from ..core.config import init_cfg, load_config
+from ..core.registry import (ENCODERS, LOSSES, NETWORKS, OPTIMS, SAMPLERS,
+                             SCHEDULERS, build_from_cfg)
 from ..geom.camera_path import path_spherical
-from ..models.ngp import HashGridConfig, NGPModelConfig
 from ..render.ngp_render import NGPRenderConfig
 from ..train.ngp_trainer import NGPTrainConfig, NGPTrainer
 from ..utils.logging import MetricWriter, log
 from ..utils.metrics import psnr
 
 
-def build_trainer(cfg, key):
+def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
+    """Assemble the NGP pipeline from the config's ``type=`` keys through the
+    registries, like the reference Runner (runner.py:16-60, registry.py:24-46).
+    """
     ds_cfg = cfg.get("dataset", {}).get("train", {})
     aabb_scale = ds_cfg.get("aabb_scale", 1)
-    grid = HashGridConfig(aabb_scale=aabb_scale,
-                          **cfg.get("hash_grid_overrides", {}))
-    mcfg = NGPModelConfig(grid=grid, use_bf16=cfg.get("fp16", False))
+    enc_cfg = dict(cfg.get("encoder", {}).get(
+        "pos_encoder", {"type": "HashEncoder"}))
+    enc_cfg.update(cfg.get("hash_grid_overrides", {}))
+    grid = build_from_cfg(enc_cfg, ENCODERS, aabb_scale=aabb_scale)
+    mcfg = build_from_cfg(dict(cfg.get("model", {"type": "NGPNetworks"})),
+                          NETWORKS, grid=grid,
+                          use_bf16=cfg.get("fp16", False),
+                          grid_impl=cfg.get("grid_impl", "brick"))
     rcfg = NGPRenderConfig(
         aabb_scale=aabb_scale,
         n_coarse=cfg.get("n_coarse", 512),
@@ -38,23 +48,30 @@ def build_trainer(cfg, key):
         near_distance=cfg.get("near_distance", 0.2),
         cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
         const_dt=cfg.get("const_dt", True))
-    optim = cfg.get("optim", {})
-    exp = cfg.get("expdecay", {})
+    sampler = build_from_cfg(dict(cfg.get(
+        "sampler", {"type": "DensityGridSampler"})), SAMPLERS)
+    optim = build_from_cfg(dict(cfg.get("optim", {"type": "Adam"})), OPTIMS)
+    exp = build_from_cfg(dict(cfg.get("expdecay", {"type": "ExpDecay"})),
+                         SCHEDULERS)
+    ema = build_from_cfg(dict(cfg.get("ema", {"type": "EMA"})), OPTIMS)
+    loss_fn = build_from_cfg(dict(cfg.get("loss", {"type": "HuberLoss"})),
+                             LOSSES)
     tcfg = NGPTrainConfig(
-        lr=optim.get("lr", 1e-1), eps=optim.get("eps", 1e-15),
-        betas=tuple(optim.get("betas", (0.9, 0.99))),
-        ema_decay=cfg.get("ema", {}).get("decay", 0.95),
-        decay_start=exp.get("decay_start", 20000),
-        decay_interval=exp.get("decay_interval", 10000),
-        decay_base=exp.get("decay_base", 0.33),
+        lr=optim["lr"], eps=optim["eps"], betas=optim["betas"],
+        ema_decay=ema["decay"],
+        decay_start=exp["decay_start"],
+        decay_interval=exp["decay_interval"],
+        decay_base=exp["decay_base"],
         n_rays_per_batch=cfg.get("n_rays_per_batch", 4096),
         target_batch_size=cfg.get("target_batch_size", 1 << 18),
-        update_den_freq=cfg.get("sampler", {}).get("update_den_freq", 16),
+        update_den_freq=sampler["update_den_freq"],
         background_color=tuple(cfg.get("background_color", (1, 1, 1))),
         tot_train_steps=cfg.get("tot_train_steps", 40000),
         n_grid_uniform=cfg.get("n_grid_uniform", 1 << 16),
         n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16))
-    return NGPTrainer(mcfg, rcfg, tcfg, key), tcfg
+    trainer = NGPTrainer(mcfg, rcfg, tcfg, key, camera_c2w=camera_c2w,
+                         focal=focal, image_wh=image_wh, loss_fn=loss_fn)
+    return trainer, tcfg
 
 
 def load_data(cfg):
@@ -120,8 +137,16 @@ def main(argv: Optional[list] = None):
 
     key = jax.random.PRNGKey(0)
     key, k = jax.random.split(key)
-    trainer, tcfg = build_trainer(cfg, k)
     data, H, W = load_data(cfg)
+    # wire the dataset's cameras so mark_untrained can blank never-seen cells
+    # (runner.py builds the sampler with the dataset, mark_untrained_density_
+    # grid runs at step 0 — density_grid_sampler.py:207-212)
+    cam_kw = {}
+    if hasattr(data, "c2w_ngp"):
+        cam_kw = {"camera_c2w": jnp.asarray(data.c2w_ngp),
+                  "focal": jnp.asarray(data.focal),
+                  "image_wh": (W, H)}
+    trainer, tcfg = build_trainer(cfg, k, **cam_kw)
 
     ckpt = os.path.join(out_dir, "model.ckpt")
     if cfg.get("load_ckpt") and latest_checkpoint(out_dir):
@@ -135,6 +160,7 @@ def main(argv: Optional[list] = None):
         batcher = RayBatcher(data.n_images, data.n_pixels,
                              trainer.n_rays_per_batch)
         rng = np.random.default_rng(0)
+        val_views = None
         for it in range(int(trainer.state.step), steps):
             if batcher.batch != trainer.n_rays_per_batch:
                 batcher = RayBatcher(data.n_images, data.n_pixels,
@@ -151,6 +177,22 @@ def main(argv: Optional[list] = None):
                 log.info(f"step {it} psnr {float(m['psnr']):.2f} "
                          f"rays/batch {trainer.n_rays_per_batch}")
             if it % 4096 == 4095:
+                # val PSNR cadence (runner.py:80-84): render one val image,
+                # append to psnr.txt
+                if val_views is None:
+                    try:
+                        val_views = load_eval_views(cfg, data, H, W)
+                    except (FileNotFoundError, AssertionError):
+                        val_views = (None, [], [])
+                imgs, c2ws, intrs = val_views
+                if imgs is not None and len(c2ws):
+                    rgb, _ = trainer.render_image(jnp.asarray(c2ws[0]),
+                                                  jnp.asarray(intrs[0]), H, W)
+                    p = float(psnr(jnp.clip(rgb, 0, 1), jnp.asarray(imgs[0])))
+                    writer.scalar("psnr_val", p, it + 1)
+                    with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
+                        f.write(f"{it + 1} {p}\n")
+                    log.info(f"step {it + 1} val psnr {p:.2f}")
                 save_checkpoint(ckpt, trainer.state, step=it + 1)
         save_checkpoint(ckpt, trainer.state, step=steps)
         log.info(f"saved {ckpt}")

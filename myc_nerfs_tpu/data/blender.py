@@ -39,9 +39,28 @@ class BlenderScene:
     focal: float
     camera_angle_x: float
     file_paths: List[str]
+    # json-level intrinsics (jnerf dataset.py:180-211): distortion, principal
+    # point, explicit focal lengths. Zero/None when absent (blender default).
+    intrinsics: Optional[Dict] = None
 
 
 def _load_image(path: str, wh: Optional[Tuple[int, int]] = None):
+    if path.endswith(".bin"):
+        # packed fp16 RGBA with int32 h/w header, stored LINEAR
+        # (read_image, dataset.py:54-61); converted to sRGB so all loaded
+        # images share the PNG color space (write_image does the inverse,
+        # dataset.py:63-79) via utils/color.
+        import struct
+
+        from ..utils.color import linear_to_srgb
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        h, w = struct.unpack("ii", raw[:8])
+        arr = np.frombuffer(raw, np.float16, count=h * w * 4, offset=8)
+        arr = arr.astype(np.float32).reshape(h, w, 4).copy()
+        arr[..., :3] = np.asarray(linear_to_srgb(arr[..., :3]))
+        return arr
     from PIL import Image
 
     img = Image.open(path)
@@ -59,7 +78,10 @@ def load_blender_split(root_dir: str, split: str, downsample: float = 1.0,
     with open(os.path.join(root_dir, name)) as f:
         meta = json.load(f)
     frames = meta["frames"]
-    cax = float(meta["camera_angle_x"])
+    if "camera_angle_x" not in meta and "fl_x" not in meta \
+            and "camera_angle_y" not in meta and "fl_y" not in meta:
+        raise RuntimeError("Couldn't read fov.")  # dataset.py:204
+    cax = float(meta.get("camera_angle_x", 0.0))
     images, alphas, c2ws, paths = [], [], [], []
     H = W = None
     for fr in frames:
@@ -67,7 +89,8 @@ def load_blender_split(root_dir: str, split: str, downsample: float = 1.0,
         if mat.shape[0] == 3:
             mat = np.concatenate([mat, [[0, 0, 0, 1.0]]], 0)
         fp = fr["file_path"]
-        img_path = os.path.join(root_dir, fp if fp.endswith(".png") else fp + ".png")
+        has_ext = fp.endswith((".png", ".bin", ".jpg", ".jpeg"))
+        img_path = os.path.join(root_dir, fp if has_ext else fp + ".png")
         if os.path.exists(img_path):
             arr = _load_image(img_path)
             if downsample != 1.0:
@@ -88,15 +111,33 @@ def load_blender_split(root_dir: str, split: str, downsample: float = 1.0,
         c2ws.append(mat)
         paths.append(fp)
     if H is None:
-        # test splits may carry no images (tensorf blender.py:108-113)
-        H = W = 800
+        # test splits may carry no images (tensorf blender.py:108-113);
+        # jnerf configs pass H/W explicitly, instant-ngp JSONs may carry w/h
+        H = int(meta.get("h", 800))
+        W = int(meta.get("w", 800))
         images = [np.zeros((H, W, 3), np.float32)] * 0
-    focal = 0.5 * W / np.tan(0.5 * cax)
+    # explicit fl_x/fl_y win over camera_angle (read_focal_length,
+    # dataset.py:187-205)
+    fl_x = meta.get("fl_x")
+    fl_y = meta.get("fl_y")
+    if fl_x is None and "camera_angle_x" in meta:
+        fl_x = 0.5 * W / np.tan(0.5 * cax)
+    if fl_y is None and "camera_angle_y" in meta:
+        fl_y = 0.5 * H / np.tan(0.5 * float(meta["camera_angle_y"]))
+    focal = fl_x if fl_x is not None else fl_y
+    intrinsics = {
+        "k1": float(meta.get("k1", 0.0)), "k2": float(meta.get("k2", 0.0)),
+        "p1": float(meta.get("p1", 0.0)), "p2": float(meta.get("p2", 0.0)),
+        "cx": float(meta.get("cx", W / 2.0)),
+        "cy": float(meta.get("cy", H / 2.0)),
+        "fl_x": float(fl_x if fl_x is not None else focal),
+        "fl_y": float(fl_y if fl_y is not None else focal),
+    }
     return BlenderScene(
         images=np.stack(images) if images else np.zeros((0, H, W, 3), np.float32),
         alphas=np.stack(alphas) if alphas else None,
         c2w=np.stack(c2ws), H=H, W=W, focal=float(focal), camera_angle_x=cax,
-        file_paths=paths)
+        file_paths=paths, intrinsics=intrinsics)
 
 
 def blend_background(scene: BlenderScene, bg: float = 1.0) -> np.ndarray:
@@ -152,6 +193,10 @@ class NGPDataset:
     H: int
     W: int
     aabb_scale: int = 1
+    # 11-float per-image metadata record (dataset.py:180-211):
+    # [k1, k2, p1, p2, cx/W, cy/H, fx, fy, light_dir(3)]
+    metadata: Optional[np.ndarray] = None
+    resolutions: Optional[np.ndarray] = None  # [N, 2] (W, H) per image
 
     @classmethod
     def from_scene(cls, scene: BlenderScene, aabb_scale: int = 1,
@@ -165,21 +210,51 @@ class NGPDataset:
                 jnp.asarray(m[:3]), scale, jnp.asarray(offset),
                 correct_pose=correct_pose))
             for m in scene.c2w])
-        focal = np.broadcast_to(np.asarray([scene.focal, scene.focal],
-                                           np.float32), (mats.shape[0], 2))
+        n = mats.shape[0]
+        intr = scene.intrinsics or {}
+        fx = intr.get("fl_x", scene.focal)
+        fy = intr.get("fl_y", scene.focal)
+        focal = np.broadcast_to(np.asarray([fx, fy], np.float32), (n, 2))
+        md = np.zeros(11, np.float32)
+        md[0] = intr.get("k1", 0.0)
+        md[1] = intr.get("k2", 0.0)
+        md[2] = intr.get("p1", 0.0)
+        md[3] = intr.get("p2", 0.0)
+        md[4] = intr.get("cx", scene.W / 2.0) / scene.W
+        md[5] = intr.get("cy", scene.H / 2.0) / scene.H
+        md[6], md[7] = fx, fy
+        # light_dir (metadata[8:], dataset.py:209-210) stays zero
+        metadata = np.repeat(md[None], n, axis=0)
+        resolutions = np.repeat(np.asarray([[scene.W, scene.H]], np.float32),
+                                n, axis=0)
         return cls(images=scene.images, alphas=scene.alphas, c2w_ngp=mats,
                    focal=np.array(focal), H=scene.H, W=scene.W,
-                   aabb_scale=aabb_scale)
+                   aabb_scale=aabb_scale, metadata=metadata,
+                   resolutions=resolutions)
 
     def rays_for_pixels(self, img_ids: np.ndarray, pix_ids: np.ndarray):
         """On-the-fly rays for (image, pixel) index pairs
-        (generate_random_data, dataset.py:230-246)."""
+        (generate_random_data, dataset.py:230-246): principal point and
+        per-image focal from the metadata record, OpenCV-style lens
+        undistortion when k1/k2/p1/p2 are nonzero (the reference passes the
+        metadata into the CUDA ray generator)."""
         x = (pix_ids % self.W + 0.5).astype(np.float32)
         y = (pix_ids // self.W + 0.5).astype(np.float32)
-        f = self.focal[img_ids]
-        dirs = np.stack([(x - self.W / 2.0) / f[:, 0],
-                         (y - self.H / 2.0) / f[:, 1],
-                         np.ones_like(x)], -1)
+        if self.metadata is not None:
+            md = self.metadata[img_ids]
+            fx, fy = md[:, 6], md[:, 7]
+            cx, cy = md[:, 4] * self.W, md[:, 5] * self.H
+            u = (x - cx) / fx
+            v = (y - cy) / fy
+            if np.abs(md[:, 0:4]).max() > 0:
+                u, v = _undistort_opencv(u, v, md[:, 0], md[:, 1],
+                                         md[:, 2], md[:, 3])
+            dirs = np.stack([u, v, np.ones_like(u)], -1)
+        else:
+            f = self.focal[img_ids]
+            dirs = np.stack([(x - self.W / 2.0) / f[:, 0],
+                             (y - self.H / 2.0) / f[:, 1],
+                             np.ones_like(x)], -1)
         m = self.c2w_ngp[img_ids]
         d = np.einsum("nij,nj->ni", m[:, :, :3], dirs)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -195,6 +270,20 @@ class NGPDataset:
             a = self.alphas.reshape(self.alphas.shape[0], -1, 1)[img_ids, pix_ids]
             rgb = rgb * a + bg * (1.0 - a)
         return rgb.astype(np.float32)
+
+
+def _undistort_opencv(u, v, k1, k2, p1, p2, iters: int = 3):
+    """Iterative OpenCV lens undistortion (the reference's CUDA
+    iterative_camera_undistortion applied to normalized image coords)."""
+    u0, v0 = u, v
+    for _ in range(iters):
+        r2 = u * u + v * v
+        rad = 1.0 + k1 * r2 + k2 * r2 * r2
+        du = 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
+        dv = p1 * (r2 + 2 * v * v) + 2 * p2 * u * v
+        u = (u0 - du) / rad
+        v = (v0 - dv) / rad
+    return u, v
 
 
 class RayBatcher:

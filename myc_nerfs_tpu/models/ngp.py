@@ -186,29 +186,50 @@ class NGPNetwork(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class NGPModelConfig:
-    """Bundle: hash grid + SH dirs + MLPs (config parity: configs/*.py)."""
+    """Bundle: hash grid + SH dirs + MLPs (config parity: configs/*.py).
+
+    ``grid_impl``: 'brick' (default) is the TPU-fast brick-packed layout
+    (ops/brick_grid.py — one wide-row gather per sample per level);
+    'hash' is the exact vertex-level reference layout (pure-XLA gathers,
+    kept for parity tests and cross-checks).
+    """
 
     grid: HashGridConfig = HashGridConfig()
     sh_degree: int = 4
     density_n_neurons: int = 64
     rgb_n_neurons: int = 64
     use_bf16: bool = False
+    grid_impl: str = "brick"
 
 
 class NGPModel:
-    """Convenience wrapper pairing the hash table with the flax MLPs."""
+    """Convenience wrapper pairing the grid table with the flax MLPs."""
 
     def __init__(self, cfg: NGPModelConfig):
         self.cfg = cfg
-        self.levels = compute_levels(cfg.grid)
         dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        if cfg.grid_impl == "brick":
+            from ..ops import brick_grid as bg
+
+            self._bg = bg
+            self.levels = bg.compute_brick_levels(cfg.grid)
+            self._encode = lambda table, pos: bg.brick_encode(
+                table, pos, cfg.grid, self.levels)
+            self._init_table = lambda key: bg.init_brick_table(
+                key, cfg.grid, self.levels)
+        else:
+            self.levels = compute_levels(cfg.grid)
+            self._encode = lambda table, pos: hash_encode(
+                table, pos, cfg.grid, self.levels)
+            self._init_table = lambda key: init_hash_table(
+                key, cfg.grid, self.levels)
         self.net = NGPNetwork(density_n_neurons=cfg.density_n_neurons,
                               rgb_n_neurons=cfg.rgb_n_neurons,
                               param_dtype=dtype)
 
     def init(self, key: jax.Array):
         k1, k2 = jax.random.split(key)
-        table = init_hash_table(k1, self.cfg.grid, self.levels)
+        table = self._init_table(k1)
         mlp = self.net.init(k2, jnp.zeros((1, self.cfg.grid.out_dim)),
                             jnp.zeros((1, 16)))
         return {"table": table, "mlp": mlp}
@@ -216,7 +237,7 @@ class NGPModel:
     def apply(self, params, positions: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
         """positions [N,3] in [0,1], dirs [N,3] warped to [0,1] (reference
         warp_direction). Returns raw [N, 4]."""
-        pos_enc = hash_encode(params["table"], positions, self.cfg.grid, self.levels)
+        pos_enc = self._encode(params["table"], positions)
         dir_enc = sh_encode(dirs * 2.0 - 1.0, degree=self.cfg.sh_degree, pad_to=16)
         if self.cfg.use_bf16:
             pos_enc = pos_enc.astype(jnp.bfloat16)
@@ -225,7 +246,7 @@ class NGPModel:
         return out.astype(jnp.float32)
 
     def density_raw(self, params, positions: jnp.ndarray) -> jnp.ndarray:
-        pos_enc = hash_encode(params["table"], positions, self.cfg.grid, self.levels)
+        pos_enc = self._encode(params["table"], positions)
         if self.cfg.use_bf16:
             pos_enc = pos_enc.astype(jnp.bfloat16)
         out = self.net.apply(params["mlp"], pos_enc,

@@ -105,10 +105,13 @@ class NGPTrainer:
                  cfg: NGPTrainConfig, key: jax.Array,
                  camera_c2w: Optional[jnp.ndarray] = None,
                  focal: Optional[jnp.ndarray] = None,
-                 image_wh: Optional[Tuple[int, int]] = None):
+                 image_wh: Optional[Tuple[int, int]] = None,
+                 loss_fn=None):
         self.model = NGPModel(model_cfg)
         self.rcfg = rcfg
         self.cfg = cfg
+        self.loss_fn = loss_fn or (
+            lambda x, y: huber_loss(x, y, cfg.huber_delta))
         max_cascade = 0
         while (1 << max_cascade) < rcfg.aabb_scale:
             max_cascade += 1
@@ -137,13 +140,14 @@ class NGPTrainer:
     def _build_step(self):
         model_apply = self.model.apply
         occ_cfg, rcfg, cfg, tx = self.occ_cfg, self.rcfg, self.cfg, self.tx
+        elem_loss = self.loss_fn
 
         @jax.jit
         def step_fn(state: NGPTrainState, rays_o, rays_d, target, bg, key):
             def loss_fn(params):
                 out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
                                       state.occ, rays_o, rays_d, bg, key)
-                loss = huber_loss(out.rgb, target, cfg.huber_delta).mean()
+                loss = elem_loss(out.rgb, target).mean()
                 return loss, (out.n_samples,
                               mse2psnr(jnp.mean((out.rgb - target) ** 2)))
 

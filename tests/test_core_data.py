@@ -170,3 +170,111 @@ class TestBlenderData:
             i, p = b.next()
             seen.update((int(a), int(c)) for a, c in zip(i, p))
         assert len(seen) == 20
+
+
+class TestNGPMetadataParity:
+    """jnerf dataset metadata parity (dataset.py:37-51,180-211)."""
+
+    def test_metadata_record(self, tmp_path):
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path)
+        # inject instant-ngp-style intrinsics into the JSON
+        p = tmp_path / "transforms_train.json"
+        d = json.loads(p.read_text())
+        d.update({"k1": 0.01, "k2": -0.002, "p1": 1e-4, "p2": -1e-4,
+                  "cx": 3.5, "cy": 4.5, "fl_x": 9.0, "fl_y": 8.0})
+        p.write_text(json.dumps(d))
+        scene = blender.load_blender_split(str(tmp_path), "train")
+        ds = blender.NGPDataset.from_scene(scene)
+        assert ds.metadata.shape == (3, 11)
+        md = ds.metadata[0]
+        np.testing.assert_allclose(md[:4], [0.01, -0.002, 1e-4, -1e-4],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(md[4:6], [3.5 / 8, 4.5 / 8], rtol=1e-6)
+        np.testing.assert_allclose(md[6:8], [9.0, 8.0], rtol=1e-6)
+        np.testing.assert_allclose(md[8:], 0.0)  # light_dir placeholder
+        np.testing.assert_allclose(ds.resolutions[0], [8, 8])
+
+    def test_distorted_rays_undistort(self, tmp_path):
+        """Distorting the undistorted ray must reproduce the raw pixel coord
+        (OpenCV radial/tangential model, 3 fixed-point iterations)."""
+        from myc_nerfs_tpu.data import blender
+
+        _write_synthetic_blender(tmp_path)
+        p = tmp_path / "transforms_train.json"
+        d = json.loads(p.read_text())
+        d.update({"k1": 0.05, "k2": -0.01, "p1": 1e-3, "p2": -1e-3})
+        p.write_text(json.dumps(d))
+        scene = blender.load_blender_split(str(tmp_path), "train")
+        ds = blender.NGPDataset.from_scene(scene)
+        img_ids = np.zeros(16, np.int32)
+        pix_ids = np.arange(16, dtype=np.int32)
+        o, dirs = ds.rays_for_pixels(img_ids, pix_ids)
+        # invert the pose rotation to recover camera-frame dirs
+        m = ds.c2w_ngp[0]
+        cam = dirs @ m[:, :3]
+        cam = cam / cam[:, 2:3]
+        u, v = cam[:, 0], cam[:, 1]
+        r2 = u * u + v * v
+        rad = 1 + 0.05 * r2 - 0.01 * r2 * r2
+        du = 2e-3 * u * v + (-1e-3) * (r2 + 2 * u * u)
+        dv = 1e-3 * (r2 + 2 * v * v) + 2 * (-1e-3) * u * v
+        ud = u * rad + du
+        vd = v * rad + dv
+        x = (pix_ids % 8 + 0.5)
+        y = (pix_ids // 8 + 0.5)
+        fx, fy = ds.metadata[0, 6], ds.metadata[0, 7]
+        cx, cy = ds.metadata[0, 4] * 8, ds.metadata[0, 5] * 8
+        np.testing.assert_allclose(ud * fx + cx, x, atol=2e-3)
+        np.testing.assert_allclose(vd * fy + cy, y, atol=2e-3)
+
+    def test_bin_image_roundtrip(self, tmp_path):
+        """.bin fp16 images are stored linear; the loader converts to sRGB
+        (read_image/write_image, dataset.py:54-79)."""
+        import struct
+
+        from myc_nerfs_tpu.data import blender
+        from myc_nerfs_tpu.utils.color import srgb_to_linear
+
+        rng = np.random.default_rng(0)
+        srgb = rng.uniform(0.1, 0.9, (4, 4, 4)).astype(np.float32)
+        linear = np.array(srgb_to_linear(srgb))
+        linear[..., 3] = 1.0
+        path = tmp_path / "img.bin"
+        with open(path, "wb") as f:
+            f.write(struct.pack("ii", 4, 4))
+            f.write(linear.astype(np.float16).tobytes())
+        arr = blender._load_image(str(path))
+        np.testing.assert_allclose(arr[..., :3], srgb[..., :3], atol=5e-3)
+
+    def test_pose_export_schema_matches_shipped_data_refine(self, tmp_path):
+        """The pose-export pipeline writes the exact schema of the shipped
+        /root/reference/data_refine/Easyship/transforms_val.json."""
+        import os
+
+        import jax.numpy as jnp
+
+        from myc_nerfs_tpu.evaluation import pose_export
+
+        ref_path = "/root/reference/data_refine/Easyship/transforms_val.json"
+        if not os.path.exists(ref_path):
+            import pytest
+
+            pytest.skip("shipped data_refine not present")
+        ref = json.load(open(ref_path))
+        poses = jnp.asarray(np.tile(np.eye(4)[:3][None], (len(ref["frames"]), 1, 1)))
+        out = tmp_path / "transforms_val.json"
+        pose_export.write_transforms_json(
+            str(out), poses, camera_angle_x=ref["camera_angle_x"],
+            file_pattern="./val/r_{}")
+        got = json.load(open(out))
+        assert sorted(got.keys()) == sorted(ref.keys())
+        assert sorted(got["frames"][0].keys()) == sorted(ref["frames"][0].keys())
+        assert len(got["frames"]) == len(ref["frames"])
+        gm = np.asarray(got["frames"][0]["transform_matrix"])
+        rm = np.asarray(ref["frames"][0]["transform_matrix"])
+        assert gm.shape == rm.shape == (4, 4)
+        # file_path naming convention matches ("./val/r_<i>")
+        assert got["frames"][0]["file_path"].rsplit("_", 1)[0] == \
+            ref["frames"][0]["file_path"].rsplit("_", 1)[0]
