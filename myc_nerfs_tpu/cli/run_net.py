@@ -161,22 +161,36 @@ def main(argv: Optional[list] = None):
                              trainer.n_rays_per_batch)
         rng = np.random.default_rng(0)
         val_views = None
-        for it in range(int(trainer.state.step), steps):
+        S = tcfg.update_den_freq  # steps per dispatch (= grid-update cadence)
+        it = int(trainer.state.step)
+        while it < steps:
             if batcher.batch != trainer.n_rays_per_batch:
                 batcher = RayBatcher(data.n_images, data.n_pixels,
                                      trainer.n_rays_per_batch, seed=it)
-            img_ids, pix_ids = batcher.next()
-            o, d = data.rays_for_pixels(img_ids, pix_ids)
-            bg = rng.uniform(0, 1, (len(img_ids), 3)).astype(np.float32)
-            target = data.pixel_values(img_ids, pix_ids, bg=bg)
             key, k = jax.random.split(key)
-            m = trainer.train_step(jnp.asarray(o), jnp.asarray(d),
-                                   jnp.asarray(target), k)
-            if it % 100 == 0:
+            new_occ = trainer.grid_update(trainer.state.occ,
+                                          trainer.state.params, k)
+            trainer.state = trainer.state._replace(occ=new_occ)
+            s = min(S, steps - it)
+            os_, ds_, ts_, bgs = [], [], [], []
+            for _ in range(s):
+                img_ids, pix_ids = batcher.next()
+                o, d = data.rays_for_pixels(img_ids, pix_ids)
+                bg = rng.uniform(0, 1, (len(img_ids), 3)).astype(np.float32)
+                ts_.append(data.pixel_values(img_ids, pix_ids, bg=bg))
+                bgs.append(bg)
+                os_.append(o)
+                ds_.append(d)
+            key, k = jax.random.split(key)
+            m = trainer.train_block(np.stack(os_), np.stack(ds_),
+                                    np.stack(ts_), k, bg=np.stack(bgs))
+            trainer._update_batch_rays()
+            it += s
+            if (it // S) % max(1, 100 // S) == 0:
                 writer.scalar("psnr", float(m["psnr"]), it)
                 log.info(f"step {it} psnr {float(m['psnr']):.2f} "
                          f"rays/batch {trainer.n_rays_per_batch}")
-            if it % 4096 == 4095:
+            if it % 4096 < S and it >= 4096:
                 # val PSNR cadence (runner.py:80-84): render one val image,
                 # append to psnr.txt
                 if val_views is None:
@@ -189,11 +203,11 @@ def main(argv: Optional[list] = None):
                     rgb, _ = trainer.render_image(jnp.asarray(c2ws[0]),
                                                   jnp.asarray(intrs[0]), H, W)
                     p = float(psnr(jnp.clip(rgb, 0, 1), jnp.asarray(imgs[0])))
-                    writer.scalar("psnr_val", p, it + 1)
+                    writer.scalar("psnr_val", p, it)
                     with open(os.path.join(out_dir, "psnr.txt"), "a") as f:
-                        f.write(f"{it + 1} {p}\n")
-                    log.info(f"step {it + 1} val psnr {p:.2f}")
-                save_checkpoint(ckpt, trainer.state, step=it + 1)
+                        f.write(f"{it} {p}\n")
+                    log.info(f"step {it} val psnr {p:.2f}")
+                save_checkpoint(ckpt, trainer.state, step=it)
         save_checkpoint(ckpt, trainer.state, step=steps)
         log.info(f"saved {ckpt}")
     elif args.task == "test":

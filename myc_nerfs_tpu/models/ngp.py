@@ -213,8 +213,9 @@ class NGPModel:
 
             self._bg = bg
             self.levels = bg.compute_brick_levels(cfg.grid)
+            enc_dtype = jnp.bfloat16 if cfg.use_bf16 else None
             self._encode = lambda table, pos: bg.brick_encode(
-                table, pos, cfg.grid, self.levels)
+                table, pos, cfg.grid, self.levels, compute_dtype=enc_dtype)
             self._init_table = lambda key: bg.init_brick_table(
                 key, cfg.grid, self.levels)
         else:

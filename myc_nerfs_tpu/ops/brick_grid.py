@@ -101,49 +101,77 @@ def init_brick_table(key: jax.Array, cfg: HashGridConfig,
             for lv in range(levels.n_levels)]
 
 
+def _vert_selectors(dtype=np.float32):
+    """Static 5x128 0/1 selectors: lane v holds vertex (ix, iy, iz) with
+    v = ix*25 + iy*5 + iz (lanes 125..127 zero). wx @ Sx broadcasts the
+    per-axis hat weights into the 128-lane layout with two MXU-friendly
+    matmuls instead of an outer-product + pad + reshape relayout."""
+    Sx = np.zeros((BRICK_VERTS, ROW_VERTS), dtype)
+    Sy = np.zeros((BRICK_VERTS, ROW_VERTS), dtype)
+    Sz = np.zeros((BRICK_VERTS, ROW_VERTS), dtype)
+    for v in range(BRICK_VERTS ** 3):
+        Sx[v // 25, v] = 1.0
+        Sy[(v // 5) % 5, v] = 1.0
+        Sz[v % 5, v] = 1.0
+    return Sx, Sy, Sz
+
+
+_SELECTORS = _vert_selectors()
+
+
 def _hat_weights(u: jnp.ndarray) -> jnp.ndarray:
     """Per-sample trilinear weights over the brick's 5^3 vertices.
 
     u [N, 3] in [0, 4): hat(u - i) is nonzero only at i = floor(u), +1 —
-    the outer product reproduces the cell's trilinear weights exactly.
-    Returns [N, 128] (125 padded with zeros).
+    the product of the broadcast per-axis hats reproduces the cell's
+    trilinear weights exactly. Returns [N, 128] (slots 125..127 zero).
     """
     iota = jnp.arange(BRICK_VERTS, dtype=u.dtype)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 0:1] - iota))  # [N, 5]
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 1:2] - iota))
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 2:3] - iota))
-    w = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-    w = w.reshape(-1, BRICK_VERTS ** 3)
-    return jnp.pad(w, ((0, 0), (0, ROW_VERTS - BRICK_VERTS ** 3)))
+    Sx, Sy, Sz = (jnp.asarray(s, u.dtype) for s in _SELECTORS)
+    return (wx @ Sx) * (wy @ Sy) * (wz @ Sz)
 
 
 def _brick_ids(levels: BrickLevels, lv: int, brick: jnp.ndarray) -> jnp.ndarray:
-    """Row index for integer brick coords [N, 3].
+    """Row index for float brick coords [N, 3] (integer-valued).
 
-    Dense: row-major. Hashed: the reference's prime XOR hash
-    (configs/Easyship.py:89) applied to the brick coordinate.
+    Dense: row-major, computed in f32 (exact: counts < 2^24) with a clip
+    instead of a mod — TPU integer div/mod is emulated and slow. Hashed: the
+    reference's prime XOR hash (configs/Easyship.py:89) on the brick
+    coordinate, masked by the power-of-two brick budget.
     """
-    b = brick.astype(jnp.uint32)
     if levels.dense[lv]:
-        bx, by, _ = levels.brick_dims[lv]
-        idx = b[:, 0] + b[:, 1] * np.uint32(bx) + b[:, 2] * np.uint32(bx * by)
-    else:
-        idx = (b[:, 0] * np.uint32(HASH_PRIMES[0])
-               ^ b[:, 1] * np.uint32(HASH_PRIMES[1])
-               ^ b[:, 2] * np.uint32(HASH_PRIMES[2]))
-    idx = idx % np.uint32(levels.n_bricks[lv])
-    return idx.astype(jnp.int32)
+        bx, by, bz = levels.brick_dims[lv]
+        b = jnp.clip(brick, 0.0, jnp.asarray([bx - 1, by - 1, bz - 1],
+                                             brick.dtype))
+        idx = b[:, 0] + b[:, 1] * bx + b[:, 2] * (bx * by)
+        return idx.astype(jnp.int32)
+    n = levels.n_bricks[lv]
+    assert n & (n - 1) == 0, "hashed brick count must be a power of two"
+    b = brick.astype(jnp.uint32)
+    idx = (b[:, 0] * np.uint32(HASH_PRIMES[0])
+           ^ b[:, 1] * np.uint32(HASH_PRIMES[1])
+           ^ b[:, 2] * np.uint32(HASH_PRIMES[2]))
+    return (idx & np.uint32(n - 1)).astype(jnp.int32)
 
 
 def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
                  cfg: HashGridConfig,
                  levels: Optional[BrickLevels] = None,
-                 stop_pos_grad: bool = True) -> jnp.ndarray:
+                 stop_pos_grad: bool = True,
+                 compute_dtype=None) -> jnp.ndarray:
     """Encode positions [..., 3] in [0, 1] -> [..., n_levels * F].
 
     One wide-row gather + hat-weight lane reduction per level. The backward
     w.r.t. the table is XLA's gather transpose — ONE wide-row scatter-add
     per level (replacing kernel_grid_backward's atomic narrow scatter).
+
+    ``compute_dtype=jnp.bfloat16`` gathers and interpolates in bf16 (halves
+    the HBM round-trip of the materialized gather outputs — the residual
+    forward cost); the reference likewise keeps its grid + grid grads in
+    fp16. Table params stay f32 (Adam moments in f32).
     """
     levels = levels or compute_brick_levels(cfg)
     F = cfg.n_features
@@ -160,7 +188,10 @@ def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
         brick = jnp.floor(base / BRICK_CELLS)
         u = p - brick * BRICK_CELLS                 # [0, 4) local coords
         bid = _brick_ids(levels, lv, brick)
-        rows = tables[lv][bid]                      # [N, 128*F] one wide row
+        table = tables[lv]
+        if compute_dtype is not None and table.dtype != compute_dtype:
+            table = table.astype(compute_dtype)
+        rows = table[bid]                           # [N, 128*F] one wide row
         w = _hat_weights(u.astype(rows.dtype))      # [N, 128]
         feats = [(rows[:, f * ROW_VERTS:(f + 1) * ROW_VERTS] * w).sum(-1)
                  for f in range(F)]

@@ -57,9 +57,14 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
 def shard_ngp_params(mesh: Mesh, params):
     """Sharding pytree for NGP params: hash table rows over "model",
     MLP weights replicated. With model=1 this degenerates to replication."""
+    n_model = mesh.shape.get("model", 1)
+
     def spec(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if "table" in names:
+        # per-level brick tables: shard only rows divisible by the model
+        # axis (hashed levels are power-of-two; small dense levels replicate)
+        if "table" in names and hasattr(leaf, "shape") and leaf.ndim >= 2 \
+                and leaf.shape[0] % max(n_model, 1) == 0:
             return table_sharding(mesh)
         return replicated(mesh)
 

@@ -24,9 +24,15 @@ def place_ngp_state(mesh, state: ngp_trainer.NGPTrainState,
     """Replicate the train state; optionally shard hash-table rows (TP)."""
     rep = mesh_lib.replicated(mesh)
 
+    n_model = mesh.shape.get("model", 1)
+
     def place(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        if shard_table and "table" in names:
+        # brick tables are per-level arrays; dense levels can have odd row
+        # counts (e.g. 11^3) — shard only evenly divisible tables (the big
+        # hashed levels are power-of-two), replicate the rest
+        if shard_table and "table" in names and hasattr(leaf, "shape") \
+                and leaf.ndim >= 2 and leaf.shape[0] % max(n_model, 1) == 0:
             return jax.device_put(leaf, mesh_lib.table_sharding(mesh))
         return jax.device_put(leaf, rep)
 

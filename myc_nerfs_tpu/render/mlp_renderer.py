@@ -81,11 +81,15 @@ def render_image_mlp(
     bg_color: Optional[jnp.ndarray] = None,
     view_dep: bool = True,
     chunk: int = 4096,
+    fine_apply_fn=None,
+    n_samples_fine: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-image render in fixed-size ray slices -> (rgb [H,W,3], depth [H,W]).
 
     Ref: render_by_slices (nerf.py:273-284), deterministic midpoint sampling
-    like the reference eval path.
+    like the reference eval path. With ``fine_apply_fn`` the full
+    coarse -> inverse-CDF -> fine graph runs per slice, exactly like training
+    (nerf.py:396-403) — eval and train share the sampling graph.
     """
     center, ray = rays_lib.get_center_and_ray(pose[None], intr[None], H, W)
     n = H * W
@@ -99,7 +103,8 @@ def render_image_mlp(
         c, r = cr
         out = render_rays_mlp(apply_fn, c[None], r[None], None, n_samples,
                               depth_range, stratified=False, bg_color=bg_color,
-                              view_dep=view_dep)
+                              view_dep=view_dep, fine_apply_fn=fine_apply_fn,
+                              n_samples_fine=n_samples_fine)
         return out.rgb[0], out.depth[0, :, 0]
 
     rgb, depth = jax.lax.map(render_chunk, (centers, rays_))

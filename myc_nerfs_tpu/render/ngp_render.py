@@ -33,6 +33,10 @@ from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
                         occupied_at, occupied_at_mip0)
 
 
+SQRT3 = 1.7320508075688772
+MAX_STEP = 1024  # NERF_STEPS (density_grid_sampler.py:38)
+
+
 @dataclasses.dataclass(frozen=True)
 class NGPRenderConfig:
     aabb_scale: int = 1
@@ -47,6 +51,24 @@ class NGPRenderConfig:
     def aabb(self) -> Tuple[float, float]:
         s = self.aabb_scale
         return (0.5 - s / 2.0, 0.5 + s / 2.0)
+
+    @property
+    def min_stepsize(self) -> float:
+        """MIN_CONE_STEPSIZE = SQRT3/NERF_STEPS (ray_sampler_header.h:100-101),
+        in units of the unit box; scene extent is aabb_scale wide."""
+        return SQRT3 / MAX_STEP
+
+
+def calc_dt(rcfg: NGPRenderConfig, n_cascades: int, grid_size: int,
+            t: jnp.ndarray) -> jnp.ndarray:
+    """The reference's per-sample step size (ray_sampler_header.h:106-111):
+    const_dt -> MIN_CONE_STEPSIZE * 0.5; else clamp(t * cone_angle,
+    MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)."""
+    mn = rcfg.min_stepsize
+    if rcfg.const_dt:
+        return jnp.full_like(t, mn * 0.5)
+    mx = mn * (1 << (n_cascades - 1)) * MAX_STEP / grid_size
+    return jnp.clip(t * rcfg.cone_angle_constant, mn, mx)
 
 
 class MarchedRays(NamedTuple):
@@ -87,34 +109,47 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
             return occupied_at_mip0(occ_cfg, bitfield, pos)
         return occupied_at(occ_cfg, bitfield, pos, mip_from_pos(occ_cfg, pos))
 
-    # --- pass 1: coarse occupancy probe
+    # --- pass 1: coarse occupancy probe over [tmin, tmax]
     Mc = rcfg.n_coarse
     frac = (jnp.arange(Mc, dtype=jnp.float32) + 0.5) / Mc
     tc = tmin[:, None] + span[:, None] * frac[None, :]
     pos_c = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
     occ_c = lookup(pos_c)
-    big = jnp.float32(1e10)
-    t_lo = jnp.min(jnp.where(occ_c, tc, big), axis=1)
-    t_hi = jnp.max(jnp.where(occ_c, tc, -big), axis=1)
     any_occ = occ_c.any(axis=1)
-    coarse_dt = span / Mc
-    t_lo = jnp.where(any_occ, jnp.maximum(t_lo - coarse_dt, tmin), tmin)
-    t_hi = jnp.where(any_occ, jnp.minimum(t_hi + coarse_dt, tmax), tmin)
+    wb = span / Mc                                    # coarse bin width
 
-    # --- pass 2: fine samples inside the occupied span
+    # --- pass 2: inverse-CDF placement over the occupied bins
+    # (multi-span-aware: samples land ONLY in occupied bins, wherever they
+    # are along the ray — replaces advance_to_next_voxel DDA skipping,
+    # ray_sampler_header.h:728-752). The sample's arc-rank advances by the
+    # reference's calc_dt per step, so the MAX_STEP/cone-angle budget holds:
+    # rays whose occupied arc is shorter than K*dt get fewer valid samples.
     K = rcfg.n_samples
-    dt = (t_hi - t_lo) / K
-    offs = jnp.arange(K, dtype=jnp.float32)[None, :]
+    o = occ_c.astype(jnp.float32)
+    c = jnp.cumsum(o, axis=1)                         # [N, Mc]
+    n_occ = c[:, -1]
+    arc = n_occ * wb                                  # occupied arc length
+    dt_ref = calc_dt(rcfg, occ_cfg.n_cascades, occ_cfg.grid_size,
+                     tmin + 0.5 * span)
+    dt = jnp.maximum(arc / K, dt_ref)                 # [N]
     if key is not None:
-        offs = offs + jax.random.uniform(key, (N, 1))
+        xi = jax.random.uniform(key, (N, 1))
     else:
-        offs = offs + 0.5
-    t = t_lo[:, None] + dt[:, None] * offs
+        xi = 0.5
+    # arc-rank of each sample, in occupied-bin units
+    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt / wb)[:, None]
+    # bin index: first i with c_i > r == count of bins with c_i <= r; since c
+    # is a 0/1 cumsum, the within-bin fraction is simply r - floor(r)
+    bin_idx = (c[:, None, :] <= r[:, :, None]).sum(-1).astype(jnp.float32)
+    frac_in = r - jnp.floor(r)
+    t = tmin[:, None] + (bin_idx + frac_in) * wb[:, None]
+    valid_budget = r < n_occ[:, None]
+
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
     occ_f = lookup(pos)
     lo, hi = rcfg.aabb
     inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
-    valid = occ_f & inbox & any_occ[:, None]
+    valid = occ_f & inbox & any_occ[:, None] & valid_budget
 
     extent = hi - lo
     warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)

@@ -235,10 +235,24 @@ def make_train_step(cfg: NeRFTrainConfig, model: NeRFMLP,
 def render_validation(cfg: NeRFTrainConfig, model: NeRFMLP, params,
                       pose: jnp.ndarray, intr: jnp.ndarray, H: int, W: int,
                       chunk: int = 2048):
-    """Full-image deterministic render (validate(), base.py:131-148)."""
+    """Full-image deterministic render (validate(), base.py:131-148).
+
+    With fine sampling the eval path runs the SAME coarse -> PDF -> fine
+    graph as training (render_by_slices goes through the full graph,
+    nerf.py:273-284, 396-403) — not the fine net on uniform samples.
+    """
     bg = jnp.full((3,), cfg.bgcolor) if cfg.setbg_opaque else None
+    fine_apply = None
+    n_fine = 0
     if cfg.fine_sampling and isinstance(params, dict) and "fine" in params:
-        params = params["fine"]
+        params_fine = params["fine"]
+        params = params["coarse"]
+
+        def fine_apply(points, ray_unit):
+            return model.apply(params_fine, points, ray_unit,
+                               progress=jnp.float32(1.0), c2f=cfg.c2f)
+
+        n_fine = cfg.sample_intvs_fine
 
     def apply_fn(points, ray_unit):
         return model.apply(params, points, ray_unit, progress=jnp.float32(1.0),
@@ -246,4 +260,5 @@ def render_validation(cfg: NeRFTrainConfig, model: NeRFMLP, params,
 
     return render_image_mlp(apply_fn, pose, intr, H, W, cfg.sample_intvs,
                             cfg.depth_range, bg_color=bg, view_dep=cfg.view_dep,
-                            chunk=chunk)
+                            chunk=chunk, fine_apply_fn=fine_apply,
+                            n_samples_fine=n_fine)

@@ -92,7 +92,9 @@ def ema_step(cfg: NGPTrainConfig, params, ema_params, steps: jnp.ndarray):
     debias_new = 1.0 / (1.0 - d**n)
 
     def blend(p, v):
-        return ((1.0 - d) * p + d * v * debias_old) * debias_new
+        out = ((1.0 - d) * p.astype(jnp.float32)
+               + d * v.astype(jnp.float32) * debias_old) * debias_new
+        return out.astype(p.dtype)
 
     new_params = jax.tree_util.tree_map(blend, params, ema_params)
     return new_params, new_params
@@ -136,6 +138,8 @@ class NGPTrainer:
             self.occ_cfg, lambda p, x: self.model.density_raw(p, x),
             cfg.n_grid_uniform, cfg.n_grid_nonuniform)
         self._step_fn = self._build_step()
+        self._block_fn = None   # lax.scan multi-step program, built lazily
+        self._render_fn = None  # cached whole-image chunked renderer
 
     def _build_step(self):
         model_apply = self.model.apply
@@ -155,6 +159,9 @@ class NGPTrainer:
                 loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            params = jax.tree_util.tree_map(
+                lambda new, old: new.astype(old.dtype),
+                params, state.params)
             params, ema_params = ema_step(cfg, params, state.ema_params,
                                           state.ema_steps)
             new_state = state._replace(
@@ -163,6 +170,73 @@ class NGPTrainer:
             return new_state, {"loss": loss, "psnr": psnr, "n_samples": n_samp}
 
         return step_fn
+
+    def _build_block(self):
+        """S train steps under one jitted lax.scan — the dispatch latency of
+        this platform (~30 ms/call through the axon tunnel) would otherwise
+        dominate a ~60-100 ms step. One block per update_den_freq cadence so
+        the occupancy-grid update stays a host-side boundary like the
+        reference's every-16-steps update (density_grid_sampler.py:251-260).
+        """
+        model_apply = self.model.apply
+        occ_cfg, rcfg, cfg, tx = self.occ_cfg, self.rcfg, self.cfg, self.tx
+        elem_loss = self.loss_fn
+
+        @jax.jit
+        def block_fn(state: NGPTrainState, rays_o, rays_d, target, bg, key):
+            def one(state, xs):
+                o, d, tgt, b, k = xs
+
+                def loss_fn(params):
+                    out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
+                                          state.occ, o, d, b, k)
+                    loss = elem_loss(out.rgb, tgt).mean()
+                    return loss, (out.n_samples,
+                                  mse2psnr(jnp.mean((out.rgb - tgt) ** 2)))
+
+                (loss, (n_samp, psnr)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                params = jax.tree_util.tree_map(
+                    lambda new, old: new.astype(old.dtype),
+                    params, state.params)
+                params, ema_params = ema_step(cfg, params, state.ema_params,
+                                              state.ema_steps)
+                state = state._replace(
+                    params=params, opt_state=opt_state, ema_params=ema_params,
+                    step=state.step + 1, ema_steps=state.ema_steps + 1)
+                return state, {"loss": loss, "psnr": psnr, "n_samples": n_samp}
+
+            S = rays_o.shape[0]
+            keys = jax.random.split(key, S)
+            state, ms = jax.lax.scan(one, state,
+                                     (rays_o, rays_d, target, bg, keys))
+            return state, jax.tree_util.tree_map(lambda x: x[-1], ms), \
+                ms["n_samples"].sum()
+
+        return block_fn
+
+    def train_block(self, rays_o, rays_d, target, key, bg=None):
+        """Run S = rays_o.shape[0] steps in one dispatch.
+
+        rays_o/rays_d [S, B, 3], target [S, B, 3], bg [S, B, 3] or [3].
+        Callers align S with update_den_freq and run the occupancy update
+        between blocks (train loop in cli/run_net.py, bench.py).
+        """
+        if self._block_fn is None:
+            self._block_fn = self._build_block()
+        S, B = rays_o.shape[:2]
+        if bg is None:
+            bg = jnp.broadcast_to(jnp.asarray(self.cfg.background_color),
+                                  (S, B, 3))
+        self.state, metrics, n_total = self._block_fn(
+            self.state, jnp.asarray(rays_o), jnp.asarray(rays_d),
+            jnp.asarray(target), jnp.asarray(bg), key)
+        self._measured_samples += float(n_total)
+        self._measure_count += S
+        return metrics
 
     def train_step(self, rays_o, rays_d, target, key, bg_color=None):
         cfg = self.cfg
@@ -184,11 +258,14 @@ class NGPTrainer:
 
     def _update_batch_rays(self):
         """Resize the ray batch toward target_batch_size samples
-        (update_batch_rays, density_grid_sampler.py:262-267). Host scalar."""
+        (update_batch_rays, density_grid_sampler.py:262-267). Host scalar.
+        Snapped to powers of two: every distinct batch shape costs a fresh
+        XLA compile (slow through the remote-compile tunnel), so the
+        adaptation walks a small ladder instead of 128-ray increments."""
         measured = max(self._measured_samples / max(self._measure_count, 1), 1.0)
         rays = int(self.n_rays_per_batch * self.cfg.target_batch_size / measured)
-        self.n_rays_per_batch = int(min((rays + 127) // 128 * 128,
-                                        self.cfg.target_batch_size))
+        rays = max(128, min(rays, self.cfg.target_batch_size))
+        self.n_rays_per_batch = 1 << int(round(np.log2(rays)))  # nearest pow2
         self._measured_samples = 0.0
         self._measure_count = 0
 
@@ -208,21 +285,26 @@ class NGPTrainer:
         rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
         params = self.state.ema_params if use_ema else self.state.params
         bg = jnp.asarray(self.cfg.background_color)
-        model_apply = self.model.apply
-        occ_cfg, rcfg = self.occ_cfg, self.rcfg
-        occ_state = self.state.occ
 
-        @jax.jit
-        def render_chunk(ro, rd):
-            out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
-                                  occ_state, ro, rd, bg, None)
-            return out.rgb, out.depth
+        if self._render_fn is None:
+            model_apply = self.model.apply
+            occ_cfg, rcfg = self.occ_cfg, self.rcfg
 
-        rgbs, depths = [], []
-        for i in range(0, rays_o.shape[0], chunk):
-            r, dep = render_chunk(rays_o[i:i + chunk], rays_d[i:i + chunk])
-            rgbs.append(r)
-            depths.append(dep)
-        rgb = jnp.concatenate(rgbs)[:n].reshape(H, W, 3)
-        depth = jnp.concatenate(depths)[:n].reshape(H, W)
+            @jax.jit
+            def render_all(params, occ_state, ro3, rd3, bg):
+                def one(chunk_rays):
+                    ro, rd = chunk_rays
+                    out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
+                                          occ_state, ro, rd, bg, None)
+                    return out.rgb, out.depth
+
+                return jax.lax.map(one, (ro3, rd3))
+
+            self._render_fn = render_all
+
+        rgb, depth = self._render_fn(
+            params, self.state.occ, rays_o.reshape(-1, chunk, 3),
+            rays_d.reshape(-1, chunk, 3), bg)
+        rgb = rgb.reshape(-1, 3)[:n].reshape(H, W, 3)
+        depth = depth.reshape(-1)[:n].reshape(H, W)
         return rgb, depth

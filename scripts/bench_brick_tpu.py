@@ -10,9 +10,13 @@ from myc_nerfs_tpu.ops import brick_grid as bg
 
 
 def sync(x):
+    import functools
+
     import jax as _jax
     leaves = _jax.tree_util.tree_leaves(x)
-    return sum(float(l.astype(jnp.float32).sum()) for l in leaves)
+    total = functools.reduce(lambda a, b: a + b.astype(jnp.float32).sum(),
+                             leaves, jnp.float32(0))
+    return float(total)
 
 
 def bench(fn, *args, iters=3, warmup=1):

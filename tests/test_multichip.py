@@ -58,9 +58,10 @@ class TestNGPSpmd:
         state, metrics = spmd.multichip_ngp_train_step(m, n_rays=128,
                                                        shard_table=True)
         assert np.isfinite(float(metrics["loss"]))
-        # table stayed sharded over the model axis after the update
-        table = state.params["table"]
-        assert len(table.sharding.device_set) in (2, 8)
+        # divisible brick tables stayed sharded over the model axis
+        shardable = [t for t in state.params["table"] if t.shape[0] % 2 == 0]
+        assert shardable
+        assert len(shardable[0].sharding.device_set) in (2, 8)
 
     def test_sharded_matches_replicated(self, devices):
         """Same step on a 1-device mesh vs the 8-device mesh: same loss."""

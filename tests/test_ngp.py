@@ -242,3 +242,69 @@ class TestNGPTrainE2E:
         rgb, depth = trainer.render_image(c2w, scene.intr[5], 24, 24, chunk=576)
         val = float(psnr(rgb, scene.images[5]))
         assert val > 14.0, f"val psnr {val}"
+
+
+class TestMultiSpanMarch:
+    def test_two_cluster_samples_land_in_occupied_cells(self):
+        """A ray crossing two separated occupied clusters must place >=90%
+        of its valid samples in occupied cells and hit BOTH clusters
+        (VERDICT march-fidelity criterion; replaces the single-span
+        [t_lo, t_hi] approximation)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myc_nerfs_tpu.render import occupancy as occ
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, march_rays
+
+        cfg = occ.OccupancyConfig(grid_size=64, n_cascades=1)
+        G = cfg.grid_size
+        bf = np.zeros((1, G, G, G), bool)
+        # two slabs along x: x in [0.15, 0.25] and [0.70, 0.80], full y/z
+        bf[0, int(0.15 * G):int(0.25 * G)] = True
+        bf[0, int(0.70 * G):int(0.80 * G)] = True
+        state = occ.init_occupancy(cfg)._replace(bitfield=jnp.asarray(bf))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=256, n_samples=64,
+                               near_distance=0.0)
+        # ray along +x through the box center
+        rays_o = jnp.asarray([[-0.5, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m = march_rays(cfg, rcfg, state.bitfield, rays_o, rays_d,
+                       jax.random.PRNGKey(0))
+        valid = np.asarray(m.valid[0])
+        xs = np.asarray(m.positions[0, :, 0])  # warped == world (scale 1)
+        assert valid.sum() >= 0.9 * rcfg.n_samples
+        in_slab1 = ((xs >= 0.14) & (xs <= 0.26)) & valid
+        in_slab2 = ((xs >= 0.69) & (xs <= 0.81)) & valid
+        # every valid sample is inside one of the slabs (small tolerance for
+        # coarse-bin edges)
+        assert (in_slab1 | in_slab2)[valid].mean() >= 0.9
+        # both clusters get sampled, roughly equally
+        assert in_slab1.sum() >= 0.3 * valid.sum()
+        assert in_slab2.sum() >= 0.3 * valid.sum()
+
+    def test_short_arc_respects_step_budget(self):
+        """A tiny occupied arc must not be oversampled below the reference's
+        calc_dt floor (const_dt -> 0.5 * SQRT3/1024): extra samples are
+        marked invalid instead (ray_sampler_header.h:106)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myc_nerfs_tpu.render import occupancy as occ
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, march_rays
+
+        cfg = occ.OccupancyConfig(grid_size=128, n_cascades=1)
+        G = cfg.grid_size
+        bf = np.zeros((1, G, G, G), bool)
+        bf[0, G // 2]  = True  # one voxel-thin slab
+        state = occ.init_occupancy(cfg)._replace(bitfield=jnp.asarray(bf))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=512, n_samples=64,
+                               near_distance=0.0, const_dt=True)
+        rays_o = jnp.asarray([[-0.5, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m = march_rays(cfg, rcfg, state.bitfield, rays_o, rays_d, None)
+        # arc ~ 1/128 = 7.8e-3; dt floor = 8.66e-4 -> at most ~10 samples
+        assert int(np.asarray(m.valid).sum()) <= 12
+        # dt equals the floor, not arc/K
+        np.testing.assert_allclose(float(m.dt[0, 0]), 0.5 * 1.7320508 / 1024,
+                                   rtol=1e-3)
