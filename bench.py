@@ -70,7 +70,7 @@ def measure_render(render_fn, params, rays_o, rays_d):
     return RENDER_RAYS * RENDER_ITERS / (time.perf_counter() - t0)
 
 
-def measure_ngp_train(grid_impl="brick"):
+def measure_ngp_train(grid_impl="brick", model=None, steps_per_block=16):
     """Full training pipeline throughput at reference config."""
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
     from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
@@ -81,14 +81,19 @@ def measure_ngp_train(grid_impl="brick"):
                           grid_impl=grid_impl)
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=64)
     tcfg = NGPTrainConfig(n_rays_per_batch=4096, target_batch_size=1 << 18,
-                          n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16)
-    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+                          n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
+                          update_den_freq=steps_per_block)
+    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0), model=model)
     trainer.state = trainer.state._replace(occ=occ_ball)
     key = jax.random.PRNGKey(2)
 
+    scan_ok = [True]
+
     def run_block(key, n_rays):
         """One reference-cadence block: grid update + 16 jitted train steps
-        in one dispatch + batch adaptation."""
+        in one dispatch + batch adaptation. Falls back to pipelined
+        single-step dispatches if the scanned program crashes the remote
+        compiler (HTTP 500 on large scan bodies)."""
         key, k1, k2, k3 = jax.random.split(key, 4)
         new_occ = trainer.grid_update(trainer.state.occ, trainer.state.params, k1)
         # pin occupancy back to the ball so the throughput sample is
@@ -99,7 +104,16 @@ def measure_ngp_train(grid_impl="brick"):
         o = o.reshape(S, n_rays, 3)
         d = d.reshape(S, n_rays, 3)
         tgt = jax.random.uniform(k3, (S, n_rays, 3))
-        trainer.train_block(o, d, tgt, key)
+        if scan_ok[0]:
+            try:
+                trainer.train_block(o, d, tgt, key)
+                host_sync(trainer.state.params)
+                return key, S, S * n_rays
+            except Exception:
+                scan_ok[0] = False
+        for s in range(S):
+            key, k = jax.random.split(key)
+            trainer.train_step(o[s], d[s], tgt[s], k)
         host_sync(trainer.state.params)
         return key, S, S * n_rays
 
@@ -138,12 +152,15 @@ def main():
         occ_cfg, rcfg, ngp.apply, p, occ_state, o, d, bg).rgb)
     ngp_render_rate = measure_render(nrender, nparams, rays_o, rays_d)
 
-    # TPU-flagship MXU field (zero gathers) render
+    # TPU-flagship MXU field (zero gathers) render + train
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
     fparams = flagship.init(jax.random.PRNGKey(0))
     frender = jax.jit(lambda p, o, d: render_rays_ngp(
         occ_cfg, rcfg, flagship.apply, p, occ_state, o, d, bg).rgb)
     flagship_render_rate = measure_render(frender, fparams, rays_o, rays_d)
+    # 4-step blocks: the 16-step scan of the wide MLP overwhelms the remote
+    # compile helper; per-step rates are identical once amortized
+    fres = measure_ngp_train(model=flagship, steps_per_block=4)
 
     train_rate = res["train_rays_per_s"]
     print(json.dumps({
@@ -163,6 +180,10 @@ def main():
             "flagship_mxu_render_rays_per_s": round(flagship_render_rate, 1),
             "flagship_mxu_render_vs_baseline": round(
                 flagship_render_rate / BASELINE_TRAIN_RAYS_PER_S, 3),
+            "flagship_mxu_train_rays_per_s": round(
+                fres["train_rays_per_s"], 1),
+            "flagship_mxu_train_vs_baseline": round(
+                fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3),
             "baseline": "0.54 Mrays/s train-side (133 it/s x 4096 rays), "
                         "instant-ngp on RTX 3090",
         },

@@ -84,6 +84,7 @@ def load_blender_split(root_dir: str, split: str, downsample: float = 1.0,
     cax = float(meta.get("camera_angle_x", 0.0))
     images, alphas, c2ws, paths = [], [], [], []
     H = W = None
+    img_paths = []
     for fr in frames:
         mat = np.asarray(fr["transform_matrix"], np.float32)
         if mat.shape[0] == 3:
@@ -92,24 +93,45 @@ def load_blender_split(root_dir: str, split: str, downsample: float = 1.0,
         has_ext = fp.endswith((".png", ".bin", ".jpg", ".jpeg"))
         img_path = os.path.join(root_dir, fp if has_ext else fp + ".png")
         if os.path.exists(img_path):
-            arr = _load_image(img_path)
-            if downsample != 1.0:
-                wh = (int(arr.shape[1] / downsample), int(arr.shape[0] / downsample))
-                arr = _load_image(img_path, wh)
-            if H is None:
-                H, W = arr.shape[:2]
-            if arr.ndim == 2:
-                arr = np.repeat(arr[..., None], 3, -1)
-            if arr.shape[-1] == 4:
-                alphas.append(arr[..., 3:4])
-                images.append(arr[..., :3])
-            else:
-                alphas.append(np.ones_like(arr[..., :1]))
-                images.append(arr[..., :3])
+            img_paths.append(img_path)
         elif require_images:
             raise FileNotFoundError(img_path)
+        else:
+            img_paths.append(None)
         c2ws.append(mat)
         paths.append(fp)
+
+    # threaded preloading (barf data/base.py:66-87): PIL/zlib decode
+    # releases the GIL, so a thread pool parallelizes real-dataset loads
+    def load_one(p):
+        if p is None:
+            return None
+        arr = _load_image(p)
+        if downsample != 1.0:
+            wh = (int(arr.shape[1] / downsample), int(arr.shape[0] / downsample))
+            arr = _load_image(p, wh)
+        return arr
+
+    if sum(p is not None for p in img_paths) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            loaded = list(ex.map(load_one, img_paths))
+    else:
+        loaded = [load_one(p) for p in img_paths]
+    for arr in loaded:
+        if arr is None:
+            continue
+        if H is None:
+            H, W = arr.shape[:2]
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, -1)
+        if arr.shape[-1] == 4:
+            alphas.append(arr[..., 3:4])
+            images.append(arr[..., :3])
+        else:
+            alphas.append(np.ones_like(arr[..., :1]))
+            images.append(arr[..., :3])
     if H is None:
         # test splits may carry no images (tensorf blender.py:108-113);
         # jnerf configs pass H/W explicitly, instant-ngp JSONs may carry w/h
@@ -164,16 +186,30 @@ def barf_views(scene: BlenderScene, bg: float = 1.0):
 
 def tensorf_ray_store(scene: BlenderScene, bg: float = 1.0):
     """-> (all_rays [N*H*W, 6], all_rgbs [N*H*W, 3]) with blender2opencv
-    poses and normalised dirs (dataLoader/blender.py:63-129)."""
+    poses and normalised dirs (dataLoader/blender.py:63-129).
+
+    Uses the native multithreaded builder (csrc/ray_store.cpp) when
+    available — this whole-dataset precompute is the loader's hot host-side
+    path — with the jnp implementation as fallback/golden reference.
+    """
     images = blend_background(scene, bg)
     c2w_cv = np.asarray(conventions.blender2opencv(jnp.asarray(scene.c2w)))
-    dirs = rays_lib.get_ray_directions(scene.H, scene.W, scene.focal)
-    all_o, all_d = [], []
-    for i in range(c2w_cv.shape[0]):
-        o, d = rays_lib.get_rays_from_directions(dirs, jnp.asarray(c2w_cv[i, :3]))
-        all_o.append(o)
-        all_d.append(d)
-    rays = jnp.concatenate([jnp.concatenate(all_o), jnp.concatenate(all_d)], -1)
+    from ..ops.native import build_ray_store_native
+
+    native = build_ray_store_native(c2w_cv[:, :3], scene.H, scene.W,
+                                    scene.focal, scene.focal)
+    if native is not None:
+        rays = jnp.asarray(native)
+    else:
+        dirs = rays_lib.get_ray_directions(scene.H, scene.W, scene.focal)
+        all_o, all_d = [], []
+        for i in range(c2w_cv.shape[0]):
+            o, d = rays_lib.get_rays_from_directions(dirs,
+                                                     jnp.asarray(c2w_cv[i, :3]))
+            all_o.append(o)
+            all_d.append(d)
+        rays = jnp.concatenate([jnp.concatenate(all_o),
+                                jnp.concatenate(all_d)], -1)
     rgbs = jnp.asarray(images).reshape(-1, 3)
     return rays, rgbs
 

@@ -155,3 +155,35 @@ def marching_tets_numpy(grid: np.ndarray, iso: float) -> Tuple[np.ndarray, np.nd
     v = np.stack(verts) if verts else np.zeros((0, 3), np.float32)
     t = np.asarray(tris, np.int32).reshape(-1, 3)
     return v, t
+
+
+def build_ray_store_native(c2w: np.ndarray, H: int, W: int, fx: float,
+                           fy: float, cx: Optional[float] = None,
+                           cy: Optional[float] = None,
+                           n_threads: int = 0) -> Optional[np.ndarray]:
+    """Multithreaded flat [N*H*W, 6] ray store (csrc/ray_store.cpp).
+
+    The native data-loader replacement for the tensorf host precompute
+    (dataLoader/blender.py:63-129). Returns None when the native lib is
+    unavailable (callers fall back to the jnp path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "rs_build"):
+        return None
+    lib.rs_build.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                             ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+                             ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    c2w = np.ascontiguousarray(c2w, np.float32)
+    assert c2w.ndim == 3 and c2w.shape[1:] == (3, 4), c2w.shape
+    n = c2w.shape[0]
+    out = np.empty((n * H * W, 6), np.float32)
+    cx = W / 2.0 if cx is None else cx
+    cy = H / 2.0 if cy is None else cy
+    lib.rs_build(c2w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                 n, H, W, fx, fy, cx, cy,
+                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                 n_threads)
+    return out

@@ -46,6 +46,9 @@ class NGPRenderConfig:
     cone_angle_constant: float = 0.00390625
     const_dt: bool = True
     early_stop_eps: float = 1e-4
+    # training-time compaction budget (0 = off); the differentiable pass
+    # runs on at most n_compact surviving samples per ray (CompactedCoord)
+    n_compact: int = 32
 
     @property
     def aabb(self) -> Tuple[float, float]:
@@ -160,6 +163,40 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
                        t=t, valid=valid)
 
 
+def compact_marched(marched: MarchedRays, sigma_det: jnp.ndarray,
+                    n_compact: int, eps: float = 1e-4) -> MarchedRays:
+    """Early-termination compaction (CompactedCoord, compacted_coord.h:39-77).
+
+    The reference recomputes per-ray transmittance from a detached forward
+    pass and truncates each ray at T < 1e-4, compacting survivors into a
+    dense buffer so the differentiable pass (and its backward) only touches
+    live samples. Static-shape version: per ray keep the first n_compact
+    survivors via the cumsum-rank trick (no sort, one narrow gather).
+    """
+    N, K = sigma_det.shape
+    alpha = 1.0 - jnp.exp(-sigma_det * marched.dt)
+    alpha = jnp.where(marched.valid, alpha, 0.0)
+    # transmittance BEFORE each sample (exclusive product)
+    log1ma = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+    logT_prev = jnp.concatenate(
+        [jnp.zeros((N, 1)), jnp.cumsum(log1ma, axis=-1)[:, :-1]], axis=-1)
+    surv = marched.valid & (jnp.exp(logT_prev) > eps)
+    c = jnp.cumsum(surv.astype(jnp.int32), axis=-1)            # [N, K]
+    j = jnp.arange(n_compact, dtype=jnp.int32)
+    idx = (c[:, None, :] <= j[None, :, None]).sum(-1)          # [N, M]
+    idx = jnp.minimum(idx, K - 1)
+    valid = j[None, :] < c[:, -1:]
+
+    def take(x):
+        if x.ndim == 3:
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    return MarchedRays(positions=take(marched.positions),
+                       dirs=take(marched.dirs), dt=take(marched.dt),
+                       t=take(marched.t), valid=valid & take(marched.valid))
+
+
 class NGPRenderOut(NamedTuple):
     rgb: jnp.ndarray        # [N, 3]
     depth: jnp.ndarray      # [N]
@@ -193,9 +230,23 @@ def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
                     model_apply, params, occ_state: OccupancyState,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bg_color: jnp.ndarray,
-                    key: Optional[jax.Array] = None) -> NGPRenderOut:
+                    key: Optional[jax.Array] = None,
+                    density_apply=None) -> NGPRenderOut:
     """Full path: march + field + composite (DensityGridSampler.sample +
-    rays2rgb, density_grid_sampler.py:133-193)."""
+    rays2rgb, density_grid_sampler.py:133-193).
+
+    With ``density_apply(params, positions) -> raw sigma [M, 1]`` and
+    rcfg.n_compact > 0, a detached density pass truncates each ray at
+    T < 1e-4 and compacts survivors so the differentiable pass only runs on
+    live samples — the reference's training-time CompactedCoord stage
+    (density_grid_sampler.py:150-164)."""
     marched = march_rays(occ_cfg, rcfg, occ_state.bitfield, rays_o, rays_d, key)
+    if density_apply is not None and rcfg.n_compact > 0:
+        N, K, _ = marched.positions.shape
+        raw_sigma = jax.lax.stop_gradient(
+            density_apply(params, marched.positions.reshape(-1, 3)))
+        sigma_det = jnp.exp(raw_sigma.reshape(N, K))
+        marched = compact_marched(marched, sigma_det, rcfg.n_compact,
+                                  rcfg.early_stop_eps)
     return render_marched(model_apply, params, marched, bg_color,
                           rcfg.early_stop_eps)

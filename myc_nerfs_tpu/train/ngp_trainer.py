@@ -108,8 +108,13 @@ class NGPTrainer:
                  camera_c2w: Optional[jnp.ndarray] = None,
                  focal: Optional[jnp.ndarray] = None,
                  image_wh: Optional[Tuple[int, int]] = None,
-                 loss_fn=None):
-        self.model = NGPModel(model_cfg)
+                 loss_fn=None, model=None):
+        # `model` overrides the default NGPModel — any object exposing
+        # apply(params, pos, dirs) + density_raw(params, pos) + init(key)
+        # trains under the same Runner machinery (e.g. OriginNeRFModel,
+        # the reference's projects/nerf config pairing ori_nerf_network with
+        # the DensityGridSampler, ori_nerf_network.py:10-77)
+        self.model = model if model is not None else NGPModel(model_cfg)
         self.rcfg = rcfg
         self.cfg = cfg
         self.loss_fn = loss_fn or (
@@ -143,6 +148,7 @@ class NGPTrainer:
 
     def _build_step(self):
         model_apply = self.model.apply
+        density_apply = self.model.density_raw
         occ_cfg, rcfg, cfg, tx = self.occ_cfg, self.rcfg, self.cfg, self.tx
         elem_loss = self.loss_fn
 
@@ -150,7 +156,8 @@ class NGPTrainer:
         def step_fn(state: NGPTrainState, rays_o, rays_d, target, bg, key):
             def loss_fn(params):
                 out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
-                                      state.occ, rays_o, rays_d, bg, key)
+                                      state.occ, rays_o, rays_d, bg, key,
+                                      density_apply=density_apply)
                 loss = elem_loss(out.rgb, target).mean()
                 return loss, (out.n_samples,
                               mse2psnr(jnp.mean((out.rgb - target) ** 2)))
@@ -179,6 +186,7 @@ class NGPTrainer:
         reference's every-16-steps update (density_grid_sampler.py:251-260).
         """
         model_apply = self.model.apply
+        density_apply = self.model.density_raw
         occ_cfg, rcfg, cfg, tx = self.occ_cfg, self.rcfg, self.cfg, self.tx
         elem_loss = self.loss_fn
 
@@ -189,7 +197,8 @@ class NGPTrainer:
 
                 def loss_fn(params):
                     out = render_rays_ngp(occ_cfg, rcfg, model_apply, params,
-                                          state.occ, o, d, b, k)
+                                          state.occ, o, d, b, k,
+                                          density_apply=density_apply)
                     loss = elem_loss(out.rgb, tgt).mean()
                     return loss, (out.n_samples,
                                   mse2psnr(jnp.mean((out.rgb - tgt) ** 2)))

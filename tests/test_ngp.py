@@ -308,3 +308,36 @@ class TestMultiSpanMarch:
         # dt equals the floor, not arc/K
         np.testing.assert_allclose(float(m.dt[0, 0]), 0.5 * 1.7320508 / 1024,
                                    rtol=1e-3)
+
+
+class TestCompaction:
+    def test_compact_marched_semantics(self):
+        """CompactedCoord parity (compacted_coord.h:39-77): truncate at
+        T < eps from a detached density pass, keep the first n_compact
+        survivors per ray, preserve sample payloads."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myc_nerfs_tpu.render.ngp_render import (MarchedRays,
+                                                     compact_marched)
+
+        N, K, M = 4, 16, 8
+        rng = np.random.default_rng(0)
+        pos = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+        dirs = rng.uniform(0, 1, (N, K, 3)).astype(np.float32)
+        dt = np.full((N, K), 0.05, np.float32)
+        t = np.cumsum(dt, 1)
+        valid = np.ones((N, K), bool)
+        valid[1, ::2] = False
+        sigma = np.zeros((N, K), np.float32)
+        sigma[0, 4] = 1000.0  # opaque wall at sample 4
+        m = MarchedRays(*(jnp.asarray(x) for x in (pos, dirs, dt, t, valid)))
+        out = compact_marched(m, jnp.asarray(sigma), M)
+        v = np.asarray(out.valid)
+        assert v[0].sum() == 5  # samples 0..4, tail killed by T < eps
+        np.testing.assert_allclose(np.asarray(out.positions)[0, :5],
+                                   pos[0, :5])
+        assert v[1].sum() == 8  # invalid evens dropped, odds kept
+        np.testing.assert_allclose(np.asarray(out.positions)[1, :8],
+                                   pos[1, 1::2])
+        assert v[2].sum() == 8  # all survive, capped at M
