@@ -133,6 +133,31 @@ def measure_ngp_train(grid_impl="brick", model=None, steps_per_block=16):
             "trainer": trainer, "rcfg": rcfg, "occ": (occ_cfg, occ_ball)}
 
 
+def _flagship_train_subprocess():
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-train"],
+            capture_output=True, text=True, timeout=1500)
+        for line in out.stdout.strip().splitlines()[::-1]:
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return {"train_rays_per_s": 0.0, "iters_per_s": 0.0, "rays_per_batch": 0}
+
+
+def flagship_train_main():
+    from myc_nerfs_tpu.models.ori_nerf import OriginNeRFConfig, OriginNeRFModel
+
+    flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
+    res = measure_ngp_train(model=flagship, steps_per_block=4)
+    print(json.dumps({"train_rays_per_s": res["train_rays_per_s"],
+                      "iters_per_s": res["iters_per_s"],
+                      "rays_per_batch": res["rays_per_batch"]}))
+
+
 def main():
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModel, NGPModelConfig
     from myc_nerfs_tpu.models.ori_nerf import OriginNeRFConfig, OriginNeRFModel
@@ -158,9 +183,10 @@ def main():
     frender = jax.jit(lambda p, o, d: render_rays_ngp(
         occ_cfg, rcfg, flagship.apply, p, occ_state, o, d, bg).rgb)
     flagship_render_rate = measure_render(frender, fparams, rays_o, rays_d)
-    # 4-step blocks: the 16-step scan of the wide MLP overwhelms the remote
-    # compile helper; per-step rates are identical once amortized
-    fres = measure_ngp_train(model=flagship, steps_per_block=4)
+    # measured in a fresh subprocess: the remote compile helper reliably
+    # 500s on the flagship train program after this process's earlier
+    # compiles (it compiles fine in a clean process)
+    fres = _flagship_train_subprocess()
 
     train_rate = res["train_rays_per_s"]
     print(json.dumps({
@@ -191,4 +217,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--flagship-train" in sys.argv:
+        flagship_train_main()
+    else:
+        main()

@@ -132,9 +132,36 @@ def main(argv: Optional[list] = None):
     max_iter = cfg.get("max_iter_run", tcfg.max_iter)
     timer = ETATimer()
 
-    for it in range(start_iter, max_iter):
+    # scanned multi-step blocks (dispatch amortization); blocks stop exactly
+    # at iterations that need host-side actions so cadences stay bit-exact
+    blocks = {}
+
+    def next_action(it):
+        cands = [max_iter - 1]
+        if scalar_every:
+            a = (it // scalar_every) * scalar_every
+            cands.append(a if a >= it else a + scalar_every)
+        if val_every:
+            a = (it // val_every) * val_every + val_every - 1
+            cands.append(a if a >= it else a + val_every)
+        if ckpt_every:
+            a = (it // ckpt_every) * ckpt_every + ckpt_every - 1
+            cands.append(a if a >= it else a + ckpt_every)
+        return min(c for c in cands if c >= it)
+
+    it = start_iter
+    while it < max_iter:
+        s = max(1, min(16, next_action(it) + 1 - it, max_iter - it))
+        if s == 1:
+            fn = step
+        else:
+            if s not in blocks:
+                blocks[s] = nt.make_train_block(tcfg, model, images, poses,
+                                                intr, steps_per_block=s)
+            fn = blocks[s]
         key, k = jax.random.split(key)
-        state, metrics = step(state, k)
+        state, metrics = fn(state, k)
+        it += s - 1  # `it` is now the last executed iteration
         if it % scalar_every == 0:
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
@@ -156,6 +183,7 @@ def main(argv: Optional[list] = None):
             writer.scalar("val/psnr", float(psnr(rgb, images[0])), it)
         if ckpt_every and it % ckpt_every == ckpt_every - 1:
             save_checkpoint(ckpt_path, state, step=it + 1, keep_snapshot=True)
+        it += 1
 
     save_checkpoint(ckpt_path, state, step=max_iter)
     if tcfg.refine_pose:

@@ -161,6 +161,35 @@ def make_train_step(cfg: NeRFTrainConfig, model: NeRFMLP,
     images [B, H, W, 3], poses_gt [B, 3, 4], intr [B, 3, 3].
     Returns step(state, key) -> (state, metrics dict).
     """
+    return jax.jit(_make_step_raw(cfg, model, images, poses_gt, intr))
+
+
+def make_train_block(cfg: NeRFTrainConfig, model: NeRFMLP,
+                     images: jnp.ndarray, poses_gt: jnp.ndarray,
+                     intr: jnp.ndarray, steps_per_block: int = 16):
+    """steps_per_block train steps per dispatch under lax.scan — the data
+    is device-resident and the step is key-driven, so blocks amortize the
+    platform's ~30 ms dispatch floor with no semantic change (state.step in
+    the carry keeps the c2f/pose-warmup schedules exact)."""
+    raw = _make_step_raw(cfg, model, images, poses_gt, intr)
+
+    @jax.jit
+    def block(state, key):
+        keys = jax.random.split(key, steps_per_block)
+
+        def one(st, k):
+            st, m = raw(st, k)
+            return st, m
+
+        state, ms = jax.lax.scan(one, state, keys)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return block
+
+
+def _make_step_raw(cfg: NeRFTrainConfig, model: NeRFMLP,
+                   images: jnp.ndarray, poses_gt: jnp.ndarray,
+                   intr: jnp.ndarray):
     B, H, W, _ = images.shape
     rays_per_image = max(cfg.rand_rays // B, 1)
     tx, tx_pose = make_optimizers(cfg)
@@ -209,7 +238,6 @@ def make_train_step(cfg: NeRFTrainConfig, model: NeRFMLP,
         loss = img2mse(out.rgb, target)
         return loss, mse2psnr(loss)
 
-    @jax.jit
     def step(state: NeRFTrainState, key: jax.Array):
         (loss, psnr_val), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                                      has_aux=True)(

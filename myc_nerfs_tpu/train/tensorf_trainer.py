@@ -100,7 +100,13 @@ def make_train_step(model_cfg: tf.TensoRFConfig, cfg: TensoRFTrainConfig,
     Ref-NeRF add its normal-orientation penalty (REFTensoRF.py:236-238);
     forward_fn swaps the model forward (Ref-NeRF / NeRF++ variants) with the
     same signature as tensorf_forward minus mlp_apply."""
+    core = _make_step_core(model_cfg, cfg, geom, tx, buffers, lr_factor,
+                           extra_loss_fn, forward_fn)
+    return jax.jit(core)
 
+
+def _make_step_core(model_cfg, cfg, geom, tx, buffers, lr_factor,
+                    extra_loss_fn=None, forward_fn=None):
     mlp_apply = tf.make_render_mlp(model_cfg).apply
 
     def default_forward(mc, g, params, bufs, rays, key, white_bg):
@@ -130,15 +136,43 @@ def make_train_step(model_cfg: tf.TensoRFConfig, cfg: TensoRFTrainConfig,
             total = total + extra_loss_fn(params, out)
         return total, mse
 
-    @jax.jit
-    def step_fn(params, opt_state, rays, rgbs, key, step):
+    def core(params, opt_state, rays, rgbs, key, step):
         (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, rays, rgbs, key, step)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"mse": mse, "psnr": mse2psnr(mse)}
 
-    return step_fn
+    return core
+
+
+def make_train_block(model_cfg, cfg, geom, tx, buffers, lr_factor,
+                     extra_loss_fn=None, forward_fn=None):
+    """S steps per dispatch under lax.scan (amortizes this platform's ~30 ms
+    per-call dispatch floor — the reference budgets run to 1M iterations).
+    rays/rgbs are stacked [S, B, ...]; step0 is the absolute iteration of
+    the first step so the per-step LR/TV decay schedule stays exact."""
+    core = _make_step_core(model_cfg, cfg, geom, tx, buffers, lr_factor,
+                           extra_loss_fn, forward_fn)
+
+    @jax.jit
+    def block_fn(params, opt_state, rays, rgbs, key, step0):
+        S = rays.shape[0]
+        keys = jax.random.split(key, S)
+        steps = step0 + jnp.arange(S, dtype=jnp.int32)
+
+        def one(carry, xs):
+            params, opt_state = carry
+            r, g, k, s = xs
+            params, opt_state, m = core(params, opt_state, r, g, k, s)
+            return (params, opt_state), m
+
+        (params, opt_state), ms = jax.lax.scan(one, (params, opt_state),
+                                               (rays, rgbs, keys, steps))
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return params, opt_state, last
+
+    return block_fn
 
 
 class PermutationSampler:
@@ -184,25 +218,38 @@ class TensoRFTrainer:
         self.step_fn = make_train_step(self.model_cfg, self.cfg, self.geom,
                                        self.tx, self.buffers, self.lr_factor,
                                        self.extra_loss_fn, self.forward_fn)
+        self.block_fn = make_train_block(self.model_cfg, self.cfg, self.geom,
+                                         self.tx, self.buffers, self.lr_factor,
+                                         self.extra_loss_fn, self.forward_fn)
         self._render_chunk = None  # stage changed: drop the cached renderer
 
     def train(self, all_rays: jnp.ndarray, all_rgbs: jnp.ndarray,
               n_iters: Optional[int] = None, key: Optional[jax.Array] = None,
-              log_every: int = 0):
+              log_every: int = 0, steps_per_block: int = 16):
+        """Training loop. Steps run in scanned blocks of up to
+        ``steps_per_block`` per dispatch; blocks stop exactly at upsample /
+        alpha-mask event boundaries so event semantics match the per-step
+        reference loop (train.py:219-334)."""
         cfg = self.cfg
         key = key if key is not None else jax.random.PRNGKey(0)
         sampler = PermutationSampler(all_rays.shape[0], cfg.batch_size)
         metrics = {}
         end = self.global_step + (n_iters or cfg.n_iters)
+        events = sorted(set(list(cfg.update_alphamask_list)
+                            + list(cfg.upsamp_list) + [end]))
         while self.global_step < end:
             it = self.global_step
+            next_event = min(e for e in events if e > it)
+            s = max(1, min(steps_per_block, next_event - it, end - it))
             key, k = jax.random.split(key)
-            ids = sampler.nextids()
-            self.params, self.opt_state, metrics = self.step_fn(
-                self.params, self.opt_state, all_rays[ids], all_rgbs[ids], k,
-                jnp.int32(it))
-            self.global_step += 1
-            if log_every and it % log_every == 0:
+            ids = np.stack([sampler.nextids() for _ in range(s)])
+            self.params, self.opt_state, metrics = self.block_fn(
+                self.params, self.opt_state, all_rays[jnp.asarray(ids)],
+                all_rgbs[jnp.asarray(ids)], k, jnp.int32(it))
+            self.global_step += s
+            it = self.global_step - 1
+            if log_every and (it // max(log_every, 1)) != \
+                    ((it - s) // max(log_every, 1)):
                 print(f"iter {it} psnr {float(metrics['psnr']):.2f}")
 
             if it + 1 in cfg.update_alphamask_list:
