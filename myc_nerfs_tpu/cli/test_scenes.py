@@ -36,13 +36,17 @@ def main(argv: Optional[list] = None):
         from . import run_net, tensorf_train
 
         log.title("synthetic umbrella run (no scene data present)")
-        tensorf_train.main(["--config",
-                            os.path.join(args.configs_root, "tensorf",
-                                         "demo_synthetic.txt"),
-                            "--n_iters", "50"])
-        run_net.main(["--config-file",
-                      os.path.join(args.configs_root, "ngp", "demo_synthetic.py"),
-                      "--task", "train", "--steps", "50"])
+        cfg = os.path.join(args.configs_root, "tensorf", "demo_synthetic.txt")
+        out = tensorf_train.main(["--config", cfg, "--n_iters", "50"])
+        out = tensorf_train.main(["--config", cfg, "--render_only", "1"])
+        _copy_pngs(os.path.join(out, "imgs_test_all"),
+                   os.path.join(args.result_dir, "demo_tensorf"))
+        ngp_cfg = os.path.join(args.configs_root, "ngp", "demo_synthetic.py")
+        run_net.main(["--config-file", ngp_cfg, "--task", "train",
+                      "--steps", "50"])
+        out = run_net.main(["--config-file", ngp_cfg, "--task", "test"])
+        _copy_pngs(os.path.join(out, "test"),
+                   os.path.join(args.result_dir, "demo_ngp"))
         log.info("synthetic umbrella run complete")
         return args.result_dir
 
@@ -55,9 +59,10 @@ def main(argv: Optional[list] = None):
 
         log.title(f"render_test {scene}")
         out = tensorf_train.main(["--config", cfg, "--render_only", "1"])
-        dst = os.path.join(args.result_dir, scene)
-        if os.path.isdir(out):
-            shutil.copytree(out, dst, dirs_exist_ok=True)
+        # ship imgs_test_all/*.png like the reference (test.py:16-22 copies
+        # the rendered test set into result/<scene>)
+        _copy_pngs(os.path.join(out, "imgs_test_all"),
+                   os.path.join(args.result_dir, scene))
 
     # Easyship: copy raw images next to the refined poses (test.py:25-28)
     refine_dir = os.path.join("data_refine", "Easyship")
@@ -79,8 +84,21 @@ def main(argv: Optional[list] = None):
         from . import run_net
 
         log.title(f"NGP test {scene}")
-        run_net.main(["--config-file", cfg, "--task", "test"])
+        out = run_net.main(["--config-file", cfg, "--task", "test"])
+        # logs/<scene>/test/*.png -> result/<scene> (test.py:30-37)
+        _copy_pngs(os.path.join(out, "test"),
+                   os.path.join(args.result_dir, scene))
     return args.result_dir
+
+
+def _copy_pngs(src_dir: str, dst_dir: str) -> None:
+    if not os.path.isdir(src_dir):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in sorted(os.listdir(src_dir)):
+        if name.endswith(".png") and "depth" not in name:
+            shutil.copy2(os.path.join(src_dir, name),
+                         os.path.join(dst_dir, name))
 
 
 if __name__ == "__main__":

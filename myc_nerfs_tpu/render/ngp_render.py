@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .composite import composite_rgb, composite_weights
 from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
-                        occupied_at, occupied_at_mip0)
+                        occupied_at, occupied_at_mip0, sigma_at)
 
 
 SQRT3 = 1.7320508075688772
@@ -49,6 +49,10 @@ class NGPRenderConfig:
     # training-time compaction budget (0 = off); the differentiable pass
     # runs on at most n_compact surviving samples per ray (CompactedCoord)
     n_compact: int = 32
+    # transmittance source for compaction: 'grid' reads the maintained
+    # density grid (one narrow gather — free), 'network' runs the detached
+    # density forward like the reference (density_grid_sampler.py:150-154)
+    compact_source: str = "grid"
 
     @property
     def aabb(self) -> Tuple[float, float]:
@@ -243,9 +247,16 @@ def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     marched = march_rays(occ_cfg, rcfg, occ_state.bitfield, rays_o, rays_d, key)
     if density_apply is not None and rcfg.n_compact > 0:
         N, K, _ = marched.positions.shape
-        raw_sigma = jax.lax.stop_gradient(
-            density_apply(params, marched.positions.reshape(-1, 3)))
-        sigma_det = jnp.exp(raw_sigma.reshape(N, K))
+        if rcfg.compact_source == "grid":
+            lo, hi = rcfg.aabb
+            world = marched.positions * (hi - lo) + lo  # un-warp
+            mip = (None if rcfg.aabb_scale == 1
+                   else mip_from_pos(occ_cfg, world))
+            sigma_det = sigma_at(occ_cfg, occ_state.density_grid, world, mip)
+        else:
+            raw_sigma = jax.lax.stop_gradient(
+                density_apply(params, marched.positions.reshape(-1, 3)))
+            sigma_det = jnp.exp(raw_sigma.reshape(N, K))
         marched = compact_marched(marched, sigma_det, rcfg.n_compact,
                                   rcfg.early_stop_eps)
     return render_marched(model_apply, params, marched, bg_color,

@@ -22,7 +22,7 @@ morton order + packed bytes are a GPU cache trick with no TPU benefit
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -233,6 +233,32 @@ def occupied_at(cfg: OccupancyConfig, bitfield: jnp.ndarray,
     p = (pos - 0.5) * mip_scale + 0.5
     i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
     return bitfield[mip, i[..., 0], i[..., 1], i[..., 2]]
+
+
+def sigma_at(cfg: OccupancyConfig, density_grid: jnp.ndarray,
+             pos: jnp.ndarray, mip: Optional[jnp.ndarray] = None
+             ) -> jnp.ndarray:
+    """Density estimate at world pos from the maintained grid.
+
+    The grid stores max-splatted exp(raw) * MIN_CONE_STEPSIZE with EMA decay
+    (splat_max/ema_update) — i.e. sigma * const. Dividing by the constant
+    recovers sigma; untrained (-1) cells read as 0. Used as the transmittance
+    source for training-time compaction: the reference recomputes density
+    with a detached network pass (density_grid_sampler.py:150-154), but the
+    grid is the EMA of exactly that quantity, and reading it is one narrow
+    gather instead of a full encode+MLP forward.
+    """
+    G = cfg.grid_size
+    if mip is None:
+        i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
+        flat = density_grid[0].reshape(-1)
+        v = flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+    else:
+        mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+        p = (pos - 0.5) * mip_scale + 0.5
+        i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
+        v = density_grid[mip, i[..., 0], i[..., 1], i[..., 2]]
+    return jnp.maximum(v, 0.0) / cfg.min_cone_stepsize
 
 
 def occupied_at_mip0(cfg: OccupancyConfig, bitfield: jnp.ndarray,

@@ -141,3 +141,19 @@ class TestRunNetCLI:
         assert cfg["dataset"]["train"]["aabb_scale"] == 8
         assert cfg["load_ckpt"] is True
         assert cfg["hash_func"].startswith("p0 ^")
+
+
+class TestScenesDriver:
+    def test_synthetic_umbrella_produces_result_pngs(self, in_tmp):
+        """The competition driver (test.py parity) must leave renderable
+        PNGs under result/<scene>/ (test.py:16-37 copies imgs_test_all and
+        logs/<scene>/test into result/)."""
+        from myc_nerfs_tpu.cli import test_scenes
+
+        out = test_scenes.main(["--synthetic",
+                                "--configs_root",
+                                os.path.join(REPO, "configs")])
+        t = os.listdir(os.path.join(out, "demo_tensorf"))
+        n = os.listdir(os.path.join(out, "demo_ngp"))
+        assert any(p.endswith(".png") for p in t)
+        assert any(p.endswith(".png") for p in n)
