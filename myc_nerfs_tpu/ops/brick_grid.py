@@ -175,25 +175,57 @@ def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
     """
     levels = levels or compute_brick_levels(cfg)
     F = cfg.n_features
+    L = cfg.n_levels
     shape = positions.shape[:-1]
     pos = positions.reshape(-1, 3)
     if stop_pos_grad:
         # the reference never backprops into sample positions
         # (grid_encode.py grad returns grid gradients only)
         pos = jax.lax.stop_gradient(pos)
+    N = pos.shape[0]
+
+    # --- all-level index + weight math in ONE fused chain (per-level loops
+    # fragment into 16 small elementwise graphs that each round-trip HBM)
+    scales = jnp.asarray(levels.scales, pos.dtype)              # [L]
+    p = pos[:, None, :] * scales[None, :, None] + 0.5           # [N, L, 3]
+    base = jnp.floor(p)
+    brick = jnp.floor(base * (1.0 / BRICK_CELLS))
+    u = p - brick * BRICK_CELLS                                 # [0, 4)
+
+    dims = np.asarray(levels.brick_dims, np.float32)            # [L, 3]
+    dense = np.asarray(levels.dense)
+    # dense: row-major in f32 (exact below 2^24), clip instead of mod
+    bc = jnp.clip(brick, 0.0, jnp.asarray(dims - 1.0, pos.dtype))
+    dense_idx = (bc[..., 0] + bc[..., 1] * jnp.asarray(dims[:, 0], pos.dtype)
+                 + bc[..., 2] * jnp.asarray(dims[:, 0] * dims[:, 1], pos.dtype))
+    # hashed: reference prime XOR on the brick coordinate, pow2 mask
+    bu = brick.astype(jnp.uint32)
+    hash_idx = (bu[..., 0] * np.uint32(HASH_PRIMES[0])
+                ^ bu[..., 1] * np.uint32(HASH_PRIMES[1])
+                ^ bu[..., 2] * np.uint32(HASH_PRIMES[2]))
+    masks = np.asarray([n - 1 for n in levels.n_bricks], np.uint32)
+    hash_idx = hash_idx & jnp.asarray(masks)[None, :]
+    bids = jnp.where(jnp.asarray(dense)[None, :],
+                     dense_idx.astype(jnp.int32),
+                     hash_idx.astype(jnp.int32))                # [N, L]
+
+    wdtype = compute_dtype or tables[0].dtype
+    iota = jnp.arange(BRICK_VERTS, dtype=u.dtype)
+    hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota))  # [N, L, 3, 5]
+    hat = hat.astype(wdtype)
+    Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in _SELECTORS)
+
     outs: List[jnp.ndarray] = []
-    for lv in range(cfg.n_levels):
-        p = pos * levels.scales[lv] + 0.5          # pos_fract (HashEncode.h:107)
-        base = jnp.floor(p)
-        brick = jnp.floor(base / BRICK_CELLS)
-        u = p - brick * BRICK_CELLS                 # [0, 4) local coords
-        bid = _brick_ids(levels, lv, brick)
+    for lv in range(L):
         table = tables[lv]
         if compute_dtype is not None and table.dtype != compute_dtype:
             table = table.astype(compute_dtype)
-        rows = table[bid]                           # [N, 128*F] one wide row
-        w = _hat_weights(u.astype(rows.dtype))      # [N, 128]
-        feats = [(rows[:, f * ROW_VERTS:(f + 1) * ROW_VERTS] * w).sum(-1)
+        rows = table[bids[:, lv]]                   # [N, 128*F] one wide row
+        # per-level weight expansion (an all-level [N, L, 128] tensor would
+        # materialize GBs at render batch sizes)
+        h = hat[:, lv]
+        wl = (h[:, 0] @ Sx) * (h[:, 1] @ Sy) * (h[:, 2] @ Sz)
+        feats = [(rows[:, f * ROW_VERTS:(f + 1) * ROW_VERTS] * wl).sum(-1)
                  for f in range(F)]
         outs.append(jnp.stack(feats, axis=-1))      # [N, F]
     out = jnp.concatenate(outs, axis=-1)

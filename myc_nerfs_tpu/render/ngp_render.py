@@ -189,16 +189,17 @@ def compact_marched(marched: MarchedRays, sigma_det: jnp.ndarray,
     j = jnp.arange(n_compact, dtype=jnp.int32)
     idx = (c[:, None, :] <= j[None, :, None]).sum(-1)          # [N, M]
     idx = jnp.minimum(idx, K - 1)
+    # slot j holds the j-th survivor (valid by construction); slots past the
+    # survivor count are masked. ONE packed gather (pos, t, dt); dirs are
+    # per-ray broadcasts, not gathered.
     valid = j[None, :] < c[:, -1:]
-
-    def take(x):
-        if x.ndim == 3:
-            return jnp.take_along_axis(x, idx[..., None], axis=1)
-        return jnp.take_along_axis(x, idx, axis=1)
-
-    return MarchedRays(positions=take(marched.positions),
-                       dirs=take(marched.dirs), dt=take(marched.dt),
-                       t=take(marched.t), valid=valid & take(marched.valid))
+    packed = jnp.concatenate([marched.positions, marched.t[..., None],
+                              marched.dt[..., None]], axis=-1)  # [N, K, 5]
+    taken = jnp.take_along_axis(packed, idx[..., None], axis=1)  # [N, M, 5]
+    dirs = jnp.broadcast_to(marched.dirs[:, :1], taken[..., :3].shape)
+    return MarchedRays(positions=taken[..., :3], dirs=dirs,
+                       dt=taken[..., 3 + 1], t=taken[..., 3],
+                       valid=valid)
 
 
 class NGPRenderOut(NamedTuple):

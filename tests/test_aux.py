@@ -195,3 +195,31 @@ class TestLogging:
         eta = t.update(1, 100)
         assert eta >= 0
         log.info("hello")  # smoke
+
+
+class TestNativeRayStore:
+    def test_matches_jnp_path(self):
+        """csrc/ray_store.cpp vs geom.rays — identical rays (the native
+        builder is the data-loader hot path, dataLoader/blender.py:63-129)."""
+        import jax.numpy as jnp
+        import numpy as np
+        import pytest
+
+        from myc_nerfs_tpu.geom import rays as rays_lib
+        from myc_nerfs_tpu.ops import native
+
+        rng = np.random.default_rng(0)
+        c2ws = []
+        for _ in range(3):
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            c2ws.append(np.concatenate([q, rng.normal(size=(3, 1))], 1))
+        c2w = np.stack(c2ws).astype(np.float32)
+        out = native.build_ray_store_native(c2w, 8, 10, 9.0, 9.0)
+        if out is None:
+            pytest.skip("native lib unavailable")
+        dirs = rays_lib.get_ray_directions(8, 10, 9.0)
+        ref = []
+        for i in range(3):
+            o, d = rays_lib.get_rays_from_directions(dirs, jnp.asarray(c2w[i]))
+            ref.append(np.concatenate([np.asarray(o), np.asarray(d)], -1))
+        np.testing.assert_allclose(out, np.concatenate(ref), atol=1e-5)
