@@ -53,7 +53,14 @@ def occupancy_ball():
     state = occ.init_occupancy(occ_cfg)
     centers = occ.cell_centers(occ_cfg, 0)
     ball = jnp.linalg.norm(centers - 0.5, axis=-1) < 0.3  # ~11% occupancy
-    return occ_cfg, state._replace(bitfield=state.bitfield.at[0].set(ball))
+    # density grid consistent with the bitfield (the fused march probes the
+    # grid; value 0.05 > thresh keeps every ball cell live through the
+    # coarse-transmittance truncation at realistic magnitudes)
+    grid = jnp.where(ball, 0.05, 0.0)
+    return occ_cfg, state._replace(
+        bitfield=state.bitfield.at[0].set(ball),
+        density_grid=state.density_grid.at[0].set(grid),
+        mean_density=jnp.maximum(grid, 0.0).mean())
 
 
 def host_sync(x):

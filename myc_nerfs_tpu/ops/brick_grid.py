@@ -45,6 +45,7 @@ from ..models.ngp import HashGridConfig, HASH_PRIMES
 BRICK_CELLS = 4          # cells per axis per brick
 BRICK_VERTS = 5          # vertices per axis (4 cells)
 ROW_VERTS = 128          # 5^3 = 125 padded to one lane group
+ONEHOT_MAX_ROWS = 384    # levels this small go through the MXU, not gathers
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,11 +221,23 @@ def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
         table = tables[lv]
         if compute_dtype is not None and table.dtype != compute_dtype:
             table = table.astype(compute_dtype)
-        rows = table[bids[:, lv]]                   # [N, 128*F] one wide row
-        # per-level weight expansion (an all-level [N, L, 128] tensor would
-        # materialize GBs at render batch sizes)
         h = hat[:, lv]
         wl = (h[:, 0] @ Sx) * (h[:, 1] @ Sy) * (h[:, 2] @ Sz)
+        n_rows = table.shape[0]
+        if n_rows <= ONEHOT_MAX_ROWS:
+            # tiny dense level: route the row selection through the MXU.
+            # gather/scatter on this chip is issue-rate bound per row
+            # (~150-200 Mrows/s fwd, ~70-100 Mrows/s scatter transpose —
+            # PERF_NOTES §5b); a one-hot matmul moves the same rows as
+            # dense FLOPs and autodiffs to a dense matmul backward,
+            # removing both the gather and its scatter-add transpose.
+            onehot = (bids[:, lv:lv + 1]
+                      == jnp.arange(n_rows, dtype=jnp.int32)[None, :])
+            rows = onehot.astype(wdtype) @ table    # [N, 128*F] via MXU
+        else:
+            rows = table[bids[:, lv]]               # [N, 128*F] one wide row
+        # per-level weight expansion (an all-level [N, L, 128] tensor would
+        # materialize GBs at render batch sizes)
         feats = [(rows[:, f * ROW_VERTS:(f + 1) * ROW_VERTS] * wl).sum(-1)
                  for f in range(F)]
         outs.append(jnp.stack(feats, axis=-1))      # [N, F]

@@ -60,9 +60,12 @@ def multichip_ngp_train_step(mesh, n_rays: int = 256,
         n_grid_uniform=1 << 10, n_grid_nonuniform=0)
     trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
                                      jax.random.PRNGKey(seed))
-    # make some occupancy so the marcher/MLP actually run
+    # make some occupancy so the marcher/MLP actually run (density grid too:
+    # the fused march probes it rather than the bitfield)
     occ_on = trainer.state.occ._replace(
-        bitfield=jnp.ones_like(trainer.state.occ.bitfield))
+        bitfield=jnp.ones_like(trainer.state.occ.bitfield),
+        density_grid=jnp.full_like(trainer.state.occ.density_grid, 0.05),
+        mean_density=jnp.asarray(0.05))
     state = place_ngp_state(mesh, trainer.state._replace(occ=occ_on),
                             shard_table=shard_table)
 

@@ -53,6 +53,10 @@ class NGPRenderConfig:
     # density grid (one narrow gather — free), 'network' runs the detached
     # density forward like the reference (density_grid_sampler.py:150-154)
     compact_source: str = "grid"
+    # fused march: probe the density grid (not the bitfield) in pass 1 so
+    # coarse transmittance truncation happens DURING sample placement —
+    # the separate compaction stage disappears (see march_rays_fused)
+    fused_march: bool = True
 
     @property
     def aabb(self) -> Tuple[float, float]:
@@ -167,6 +171,108 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
                        t=t, valid=valid)
 
 
+def _sigma_probe(occ_cfg: OccupancyConfig, density_grid: jnp.ndarray,
+                 pos: jnp.ndarray, single_mip: bool) -> jnp.ndarray:
+    """Raw density-grid value at world pos [..., 3] (one narrow gather).
+
+    Returns the grid's stored optical thickness (sigma * MIN_CONE_STEPSIZE,
+    EMA-maxed; -1 marks untrained). Lookups go through mip_from_pos, which
+    never reads the OR-pooled centre octant of a cascade (those positions
+    resolve to a smaller mip), so `value > thresh` here is EXACTLY the
+    bitfield bit the non-fused march reads (update_bitfield semantics).
+    """
+    G = occ_cfg.grid_size
+    if single_mip:
+        i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
+        flat = density_grid[0].reshape(-1)
+        return flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+    mip = mip_from_pos(occ_cfg, pos)
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
+    flat = density_grid.reshape(-1)
+    g3 = G * G * G
+    return flat[mip * g3 + (i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+
+
+def march_rays_fused(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
+                     occ_state: OccupancyState, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, key: Optional[jax.Array] = None,
+                     n_samples: Optional[int] = None,
+                     trunc_eps: Optional[float] = None) -> MarchedRays:
+    """March + transmittance truncation in ONE pass over the density grid.
+
+    Replaces march_rays + compact_marched for the 'grid' compaction source:
+    pass 1 gathers the *density grid value* at n_coarse probes (same narrow
+    gather cost as the bitfield probe, same occupancy decision — see
+    _sigma_probe), and additionally accumulates coarse per-bin transmittance.
+    Bins where T has fallen below trunc_eps are excluded from the
+    inverse-CDF placement, so the K samples only land on LIVE bins — the
+    reference's CompactedCoord early-termination (compacted_coord.h:39-77)
+    folded into the RaySampler (ray_sampler.h) instead of a separate stage.
+    """
+    N = rays_o.shape[0]
+    K = n_samples or rcfg.n_samples
+    eps = rcfg.early_stop_eps if trunc_eps is None else trunc_eps
+    tmin, tmax = ray_aabb_range(rcfg, rays_o, rays_d)
+    span = tmax - tmin
+    single_mip = rcfg.aabb_scale == 1
+
+    # threshold in grid units: min(0.01, mean) (update_bitfield.h)
+    thresh = jnp.minimum(0.01, occ_state.mean_density)
+
+    # --- pass 1: density probe over [tmin, tmax]
+    Mc = rcfg.n_coarse
+    frac = (jnp.arange(Mc, dtype=jnp.float32) + 0.5) / Mc
+    tc = tmin[:, None] + span[:, None] * frac[None, :]
+    pos_c = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
+    gval = _sigma_probe(occ_cfg, occ_state.density_grid, pos_c, single_mip)
+    occ_c = gval > thresh
+    wb = span / Mc
+
+    # coarse transmittance: sigma = optical/MIN_CONE_STEPSIZE over bin width
+    sigma_c = jnp.maximum(gval, 0.0) * (1.0 / occ_cfg.min_cone_stepsize)
+    od = sigma_c * wb[:, None]                         # per-bin optical depth
+    od = jnp.where(occ_c, od, 0.0)
+    logT_prev = jnp.concatenate(
+        [jnp.zeros((N, 1)), -jnp.cumsum(od, axis=1)[:, :-1]], axis=1)
+    live = occ_c & (logT_prev > jnp.log(eps)) if eps > 0 else occ_c
+    any_occ = live.any(axis=1)
+
+    # --- pass 2: inverse-CDF placement over LIVE bins (rank trick as in
+    # march_rays; arc-rank advances by calc_dt so the MAX_STEP budget holds)
+    o = live.astype(jnp.float32)
+    c = jnp.cumsum(o, axis=1)
+    n_occ = c[:, -1]
+    arc = n_occ * wb
+    dt_ref = calc_dt(rcfg, occ_cfg.n_cascades, occ_cfg.grid_size,
+                     tmin + 0.5 * span)
+    dt = jnp.maximum(arc / K, dt_ref)
+    if key is not None:
+        xi = jax.random.uniform(key, (N, 1))
+    else:
+        xi = 0.5
+    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt / wb)[:, None]
+    bin_idx = (c[:, None, :] <= r[:, :, None]).sum(-1).astype(jnp.float32)
+    frac_in = r - jnp.floor(r)
+    t = tmin[:, None] + (bin_idx + frac_in) * wb[:, None]
+    valid_budget = r < n_occ[:, None]
+
+    pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
+    gf = _sigma_probe(occ_cfg, occ_state.density_grid, pos, single_mip)
+    lo, hi = rcfg.aabb
+    inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
+    valid = (gf > thresh) & inbox & any_occ[:, None] & valid_budget
+
+    extent = hi - lo
+    warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)
+    warped_dir = (rays_d[:, None, :] + 1.0) * 0.5
+    warped_dir = jnp.broadcast_to(warped_dir, pos.shape)
+    dt_full = jnp.broadcast_to(dt[:, None], t.shape)
+    return MarchedRays(positions=warped_pos, dirs=warped_dir, dt=dt_full,
+                       t=t, valid=valid)
+
+
 def compact_marched(marched: MarchedRays, sigma_det: jnp.ndarray,
                     n_compact: int, eps: float = 1e-4) -> MarchedRays:
     """Early-termination compaction (CompactedCoord, compacted_coord.h:39-77).
@@ -244,7 +350,19 @@ def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     rcfg.n_compact > 0, a detached density pass truncates each ray at
     T < 1e-4 and compacts survivors so the differentiable pass only runs on
     live samples — the reference's training-time CompactedCoord stage
-    (density_grid_sampler.py:150-164)."""
+    (density_grid_sampler.py:150-164).
+
+    With rcfg.fused_march (default), the march probes the density grid and
+    folds the grid-sourced truncation into sample placement directly
+    (march_rays_fused): training marches exactly n_compact samples per ray
+    and there is no separate compaction stage."""
+    if rcfg.fused_march:
+        compacting = density_apply is not None and rcfg.n_compact > 0
+        K = rcfg.n_compact if compacting else rcfg.n_samples
+        marched = march_rays_fused(occ_cfg, rcfg, occ_state, rays_o, rays_d,
+                                   key, n_samples=K)
+        return render_marched(model_apply, params, marched, bg_color,
+                              rcfg.early_stop_eps)
     marched = march_rays(occ_cfg, rcfg, occ_state.bitfield, rays_o, rays_d, key)
     if density_apply is not None and rcfg.n_compact > 0:
         N, K, _ = marched.positions.shape

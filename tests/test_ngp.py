@@ -341,3 +341,74 @@ class TestCompaction:
         np.testing.assert_allclose(np.asarray(out.positions)[1, :8],
                                    pos[1, 1::2])
         assert v[2].sum() == 8  # all survive, capped at M
+
+
+class TestFusedMarch:
+    """march_rays_fused: density-grid probing + in-march truncation
+    (RaySampler ray_sampler.h + CompactedCoord compacted_coord.h folded
+    into one static-shape pass)."""
+
+    def _slab_state(self, G=64, slabs=((0.15, 0.25), (0.70, 0.80)), val=0.05):
+        cfg = occ.OccupancyConfig(grid_size=G, n_cascades=1)
+        grid = np.zeros((1, G, G, G), np.float32)
+        for lo, hi in slabs:
+            grid[0, int(lo * G):int(hi * G)] = val
+        bits = grid > min(0.01, grid.max(initial=0.0) * 0 + grid.mean())
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.asarray(grid),
+            bitfield=jnp.asarray(grid > 0.0),
+            mean_density=jnp.asarray(grid[0].mean()))
+        return cfg, state
+
+    def test_matches_bitfield_occupancy_decision(self):
+        """gval > thresh == the bitfield bit for mip_from_pos lookups."""
+        from myc_nerfs_tpu.render.ngp_render import march_rays_fused
+
+        cfg, state = self._slab_state(val=1e-4)  # thin density: no truncation
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=256, n_samples=64,
+                               near_distance=0.0)
+        rays_o = jnp.asarray([[-0.5, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m_bit = march_rays(cfg, rcfg, state.bitfield, rays_o, rays_d, None)
+        m_fus = march_rays_fused(cfg, rcfg, state, rays_o, rays_d, None)
+        # with negligible optical depth the fused placement equals the
+        # bitfield placement
+        np.testing.assert_allclose(np.asarray(m_fus.t), np.asarray(m_bit.t),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m_fus.valid),
+                                      np.asarray(m_bit.valid))
+
+    def test_truncation_kills_second_slab(self):
+        """An optically thick first slab leaves T < eps: no samples in the
+        second slab (the reference's early termination, compacted_coord.h)."""
+        from myc_nerfs_tpu.render.ngp_render import march_rays_fused
+
+        cfg, state = self._slab_state(val=1.0)  # huge optical depth
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=256, n_samples=32,
+                               near_distance=0.0)
+        rays_o = jnp.asarray([[-0.5, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m = march_rays_fused(cfg, rcfg, state, rays_o, rays_d)
+        valid = np.asarray(m.valid[0])
+        xs = np.asarray(m.positions[0, :, 0])
+        assert valid.any()
+        # all valid samples in the first slab's entry region
+        assert (xs[valid] < 0.30).all()
+
+    def test_two_cluster_coverage_thin_density(self):
+        """Thin density -> both slabs sampled (multi-span fidelity kept)."""
+        from myc_nerfs_tpu.render.ngp_render import march_rays_fused
+
+        cfg, state = self._slab_state(val=1e-4)
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=256, n_samples=64,
+                               near_distance=0.0)
+        rays_o = jnp.asarray([[-0.5, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m = march_rays_fused(cfg, rcfg, state, rays_o, rays_d,
+                             jax.random.PRNGKey(0))
+        valid = np.asarray(m.valid[0])
+        xs = np.asarray(m.positions[0, :, 0])
+        in1 = ((xs >= 0.14) & (xs <= 0.26)) & valid
+        in2 = ((xs >= 0.69) & (xs <= 0.81)) & valid
+        assert in1.sum() >= 0.3 * valid.sum()
+        assert in2.sum() >= 0.3 * valid.sum()
