@@ -47,7 +47,9 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         n_samples=cfg.get("n_samples", 64),
         near_distance=cfg.get("near_distance", 0.2),
         cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
-        const_dt=cfg.get("const_dt", True))
+        const_dt=cfg.get("const_dt", True),
+        n_compact=cfg.get("n_compact", 32),
+        fused_march=cfg.get("fused_march", True))
     sampler = build_from_cfg(dict(cfg.get(
         "sampler", {"type": "DensityGridSampler"})), SAMPLERS)
     optim = build_from_cfg(dict(cfg.get("optim", {"type": "Adam"})), OPTIMS)

@@ -72,8 +72,7 @@ run_variant("B_f32_gather_autodiff", enc_B)
 # C: promise_in_bounds take, bf16
 def enc_C(tab, idx):
     tab = tab.astype(jnp.bfloat16)
-    rows = jnp.take(tab, idx, axis=0, unique_indices=False,
-                    indices_are_sorted=False, mode="promise_in_bounds")
+    rows = tab.at[idx].get(mode="promise_in_bounds")
     return ((rows[:, :128] * wl16).sum(-1) + (rows[:, 128:] * wl16).sum(-1))
 
 run_variant("C_bf16_promise_autodiff", enc_C)
@@ -82,7 +81,7 @@ run_variant("C_bf16_promise_autodiff", enc_C)
 @jax.custom_vjp
 def gather_dot_D(tab, idx):
     tab16 = tab.astype(jnp.bfloat16)
-    rows = jnp.take(tab16, idx, axis=0, mode="promise_in_bounds")
+    rows = tab16.at[idx].get(mode="promise_in_bounds")
     return (rows[:, :128] * wl16).sum(-1) + (rows[:, 128:] * wl16).sum(-1)
 
 def D_fwd(tab, idx):
@@ -102,7 +101,7 @@ run_variant("D_customvjp_bf16_promise", lambda tab, idx: gather_dot_D(tab, idx))
 @jax.custom_vjp
 def gather_dot_E(tab, idx):
     tab16 = tab.astype(jnp.bfloat16)
-    rows = jnp.take(tab16, idx, axis=0, mode="promise_in_bounds")
+    rows = tab16.at[idx].get(mode="promise_in_bounds")
     return (rows[:, :128] * wl16).sum(-1) + (rows[:, 128:] * wl16).sum(-1)
 
 def E_fwd(tab, idx):

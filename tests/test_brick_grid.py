@@ -124,3 +124,33 @@ class TestBrickVsHash:
         out = model.apply(params, jnp.full((8, 3), 0.5), jnp.full((8, 3), 0.5))
         assert out.shape == (8, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestOneHotRouting:
+    def test_onehot_path_matches_gather_path(self, monkeypatch):
+        """Levels at or below ONEHOT_MAX_ROWS route row selection through
+        an MXU one-hot matmul (PERF_NOTES §5b); outputs and table gradients
+        must match the plain-gather path exactly."""
+        cfg = ngp.HashGridConfig(n_levels=4, n_features=2, base_resolution=16,
+                                 log2_hashmap_size=16,
+                                 desired_resolution=128.0)
+        levels = bg.compute_brick_levels(cfg)
+        tables = bg.init_brick_table(jax.random.PRNGKey(0), cfg, levels)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+        def run():
+            def loss(tabs):
+                out = bg.brick_encode(tabs, pos, cfg, levels)
+                return (out * out).sum(), out
+            (l, out), grads = jax.value_and_grad(loss, has_aux=True)(tables)
+            return out, grads
+
+        monkeypatch.setattr(bg, "ONEHOT_MAX_ROWS", 0)      # all gather
+        out_g, grads_g = run()
+        monkeypatch.setattr(bg, "ONEHOT_MAX_ROWS", 10 ** 9)  # all one-hot
+        out_o, grads_o = run()
+        np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_g),
+                                   rtol=2e-5, atol=2e-6)
+        for a, b in zip(grads_o, grads_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
