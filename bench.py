@@ -154,6 +154,38 @@ def measure_ngp_train(grid_impl="brick", model=None, steps_per_block=16,
             "trainer": trainer, "rcfg": rcfg, "occ": (occ_cfg, occ_ball)}
 
 
+def measure_garf_train():
+    """GARF-shaped pose-refinement training throughput (barf-myc stack).
+
+    Reference budget: 200k iters x 2048 rays x 128 samples, 8x256 MLP with
+    joint per-image SE(3) refinement + 2nd optimizer (options/Easyship.yaml).
+    No published iters/s exists for the 3090, so this reports absolute
+    rays/s/chip — the wide-MLP workload is the MXU-friendly stack."""
+    from myc_nerfs_tpu.data.synthetic import make_scene
+    from myc_nerfs_tpu.train import nerf_trainer as nt
+
+    scene = make_scene(n_views=8, H=64, W=64)
+    cfg = nt.NeRFTrainConfig(model="garf", refine_pose=True,
+                             rand_rays=2048, sample_intvs=128,
+                             max_iter=200000)
+    model, state = nt.init_state(cfg, jax.random.PRNGKey(0),
+                                 n_images=scene.images.shape[0])
+    block = nt.make_train_block(cfg, model, scene.images, scene.poses,
+                                scene.intr, steps_per_block=16)
+    key = jax.random.PRNGKey(3)
+    state, _ = block(state, key)
+    host_sync(state.params)
+    t0 = time.perf_counter()
+    nblk = 4
+    for i in range(nblk):
+        state, m = block(state, jax.random.fold_in(key, i))
+    host_sync(state.params)
+    dt = time.perf_counter() - t0
+    steps = nblk * 16
+    return {"rays_per_s": steps * cfg.rand_rays / dt,
+            "iters_per_s": steps / dt}
+
+
 def _flagship_train_subprocess():
     import subprocess
 
@@ -212,6 +244,11 @@ def main():
     # compiles (it compiles fine in a clean process)
     fres = _flagship_train_subprocess()
 
+    try:
+        gres = measure_garf_train()
+    except Exception:
+        gres = {"rays_per_s": 0.0, "iters_per_s": 0.0}
+
     train_rate = res["train_rays_per_s"]
     print(json.dumps({
         "metric": "ngp_hash_train_throughput",
@@ -234,6 +271,8 @@ def main():
                 fres["train_rays_per_s"], 1),
             "flagship_mxu_train_vs_baseline": round(
                 fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3),
+            "garf_train_rays_per_s": round(gres["rays_per_s"], 1),
+            "garf_train_iters_per_s": round(gres["iters_per_s"], 2),
             "baseline": "0.54 Mrays/s train-side (133 it/s x 4096 rays), "
                         "instant-ngp on RTX 3090",
         },

@@ -412,3 +412,33 @@ class TestFusedMarch:
         in2 = ((xs >= 0.69) & (xs <= 0.81)) & valid
         assert in1.sum() >= 0.3 * valid.sum()
         assert in2.sum() >= 0.3 * valid.sum()
+
+    def test_multi_cascade_outer_shell(self):
+        """aabb_scale=4 (3 cascades): occupancy in cascade 1's outer shell
+        (|x-0.5| in (0.5, 1.0]) must be found by the fused march through
+        mip_from_pos lookups, matching the bitfield march's decision."""
+        from myc_nerfs_tpu.render.ngp_render import march_rays_fused
+
+        cfg = occ.OccupancyConfig(grid_size=32, n_cascades=3, max_cascade=2)
+        G = cfg.grid_size
+        grid = np.zeros((3, G, G, G), np.float32)
+        # cascade 1 spans [-0.5, 1.5]; occupy slab x in [1.0, 1.25] which is
+        # OUTSIDE cascade 0 ([0,1]) -> only reachable via mip 1 lookups.
+        # cell index: x = ((i+0.5)/G - 0.5)*2 + 0.5 -> i = ((x-0.5)/2+0.5)*G
+        lo = int(((1.00 - 0.5) / 2 + 0.5) * G)
+        hi = int(((1.25 - 0.5) / 2 + 0.5) * G) + 1
+        grid[1, lo:hi] = 0.05
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.asarray(grid),
+            mean_density=jnp.asarray(np.maximum(grid[0], 0).mean()))
+        rcfg = NGPRenderConfig(aabb_scale=4, n_coarse=256, n_samples=32,
+                               near_distance=0.0)
+        rays_o = jnp.asarray([[-2.0, 0.5, 0.5]])
+        rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+        m = march_rays_fused(cfg, rcfg, state, rays_o, rays_d,
+                             jax.random.PRNGKey(0))
+        valid = np.asarray(m.valid[0])
+        assert valid.any()
+        lo_a, hi_a = rcfg.aabb
+        xs = np.asarray(m.positions[0, :, 0]) * (hi_a - lo_a) + lo_a  # unwarp
+        assert (xs[valid] >= 0.97).all() and (xs[valid] <= 1.33).all()
