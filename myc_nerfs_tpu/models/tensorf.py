@@ -56,6 +56,14 @@ class TensoRFConfig:
     step_ratio: float = 2.0
     fea2dense: str = "softplus"
     near_far: Tuple[float, float] = (2.0, 6.0)
+    # static-shape resolution of the reference's dynamic app_mask indexing
+    # (tensorBase.py:505-518): appearance features + the shading MLP run on
+    # at most this many weight>thresh survivors per ray (first-K by depth,
+    # cumsum-rank compaction). 0 = evaluate all samples (exact but ~4x the
+    # appearance-side row traffic at typical survivor rates). Rays with
+    # more survivors than the budget drop the contribution of the deepest
+    # ones (T there is already < weight_thres * S in practice).
+    app_sample_budget: int = 96
 
 
 class StageGeom(NamedTuple):
@@ -212,14 +220,28 @@ def make_render_mlp(cfg: TensoRFConfig) -> MLPRender:
 
 
 def _line_sample(line: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """1D lerp of line [C, L] at t [...] in [-1, 1] (align_corners)."""
+    """1D lerp of line [C, L] at t [...] in [-1, 1] (align_corners).
+
+    Packs both lerp endpoints into one [L, 2C] row so each sample costs ONE
+    gather (and ONE wider scatter-add in the transpose) instead of two —
+    random access on this chip is issue-bound per row (PERF_NOTES.md)."""
     L = line.shape[1]
+    C = line.shape[0]
     x = (t + 1.0) * 0.5 * (L - 1)
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, L - 1)
-    x1 = jnp.clip(x0 + 1, 0, L - 1)
-    w = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    if L == 1:
+        x0 = jnp.zeros_like(x, jnp.int32)
+        w = jnp.zeros_like(x)[..., None]
+    else:
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, L - 2)
+        w = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     g = jnp.moveaxis(line, 0, -1)  # [L, C]
-    return g[x0] * (1 - w) + g[x1] * w
+    if L > 1:
+        nxt = jnp.concatenate([g[1:], g[-1:]], axis=0)
+    else:
+        nxt = g
+    packed = jnp.concatenate([g, nxt], axis=-1)    # [L, 2C]
+    rows = packed[x0]
+    return rows[..., :C] * (1 - w) + rows[..., C:] * w
 
 
 def compute_density_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp.ndarray:
@@ -385,6 +407,42 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
     app_mask = weight > cfg.ray_march_weight_thres
 
     dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    K = cfg.app_sample_budget
+    if K and K < xyz.shape[1]:
+        # static compaction: appearance only at the first K weight>thresh
+        # survivors per ray (the reference's boolean app_mask indexing,
+        # tensorBase.py:505-518, as a fixed-shape gather)
+        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)     # [N, S]
+        j = jnp.arange(K, dtype=jnp.int32)
+        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)       # [N, K]
+        idx = jnp.minimum(idx, xyz.shape[1] - 1)
+        valid_app = j[None, :] < c[:, -1:]
+        xyz_c = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+        w_c = jnp.take_along_axis(weight, idx, axis=1)
+        w_c = jnp.where(valid_app, w_c, 0.0)
+        dirs_c = jnp.broadcast_to(viewdirs[:, None, :], xyz_c.shape)
+        app_feat = compute_app_feature(cfg, params, xyz_c)
+        if cfg.shading_mode.startswith("MLP"):
+            apply = mlp_apply or make_render_mlp(cfg).apply
+            rgb_c = apply(params["mlp"], xyz_c, dirs_c, app_feat)
+        elif cfg.shading_mode == "SH":
+            rgb_c = sh_render(xyz_c, dirs_c, app_feat)
+        else:  # RGB
+            rgb_c = app_feat
+        rgb_c = jnp.where(valid_app[..., None], rgb_c, 0.0)
+        acc_map = weight.sum(-1)
+        rgb_map = (w_c[..., None] * rgb_c).sum(-2)
+        if white_bg:
+            rgb_map = rgb_map + bg_weight[..., None]
+        rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
+        depth_map = (weight * z_vals).sum(-1)
+        # rgb_s on the full sample grid only for callers that inspect it
+        return TensoRFOut(rgb_map=rgb_map, depth_map=depth_map, weight=weight,
+                          sigma=sigma, bg_weight=bg_weight, z_vals=z_vals,
+                          extras={"app_mask": app_mask, "valid": valid,
+                                  "app_xyz": xyz_c, "app_rgb": rgb_c,
+                                  "app_weight": w_c, "app_dirs": dirs_c,
+                                  "app_valid": valid_app})
     app_feat = compute_app_feature(cfg, params, xyz)
     if cfg.shading_mode.startswith("MLP"):
         apply = mlp_apply or make_render_mlp(cfg).apply
