@@ -161,13 +161,31 @@ def nerfpp_forward(model_cfg: tf.TensoRFConfig, pp_cfg: NerfPPConfig,
         model_cfg, tf.compute_density_feature(model_cfg, params, xyz)), 0.0)
     alpha, weight, _ = raw2alpha(sigma, dists * model_cfg.distance_scale)
     app_mask = weight > model_cfg.ray_march_weight_thres
-    dirs = jnp.broadcast_to(ray_d[:, None, :], pts.shape)
-    app_feat = tf.compute_app_feature(model_cfg, params, xyz)
+    K = model_cfg.app_sample_budget
     apply = mlp_apply or tf.make_render_mlp(model_cfg).apply
-    rgb_s = jnp.where(app_mask[..., None],
-                      apply(params["mlp"], xyz, dirs, app_feat), 0.0)
+    if K and K < xyz.shape[1]:
+        # static app_mask compaction (see tensorf_forward): fg appearance
+        # runs on at most K weight>thresh survivors per ray
+        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)
+        j = jnp.arange(K, dtype=jnp.int32)
+        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)
+        idx = jnp.minimum(idx, xyz.shape[1] - 1)
+        valid_app = j[None, :] < c[:, -1:]
+        xyz_s = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+        w_s = jnp.where(valid_app,
+                        jnp.take_along_axis(weight, idx, axis=1), 0.0)
+        dirs_s = jnp.broadcast_to(ray_d[:, None, :], xyz_s.shape)
+        app_feat = tf.compute_app_feature(model_cfg, params, xyz_s)
+        rgb_s = jnp.where(valid_app[..., None],
+                          apply(params["mlp"], xyz_s, dirs_s, app_feat), 0.0)
+        fg_rgb_map = (w_s[..., None] * rgb_s).sum(-2)
+    else:
+        dirs = jnp.broadcast_to(ray_d[:, None, :], pts.shape)
+        app_feat = tf.compute_app_feature(model_cfg, params, xyz)
+        rgb_s = jnp.where(app_mask[..., None],
+                          apply(params["mlp"], xyz, dirs, app_feat), 0.0)
+        fg_rgb_map = (weight[..., None] * rgb_s).sum(-2)
     acc = weight.sum(-1)
-    fg_rgb_map = (weight[..., None] * rgb_s).sum(-2)
     depth_map = (weight * fg_depth).sum(-1)
 
     # --- background lambda from fg alphas (:279-281)

@@ -125,24 +125,40 @@ def ref_tensorf_forward(cfg: tf.TensoRFConfig, geom: tf.StageGeom, params,
     alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres
 
-    app, rgb_d, tint, normal, rho = compute_ref_appfeature(cfg, params, xyz)
+    K = cfg.app_sample_budget
+    if K and K < xyz.shape[1]:
+        # static app_mask compaction (see tensorf_forward): all appearance
+        # heads + the reflection MLP run on at most K survivors per ray
+        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)
+        j = jnp.arange(K, dtype=jnp.int32)
+        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)
+        idx = jnp.minimum(idx, xyz.shape[1] - 1)
+        valid_app = j[None, :] < c[:, -1:]
+        xyz_s = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+        w_s = jnp.where(valid_app,
+                        jnp.take_along_axis(weight, idx, axis=1), 0.0)
+        sel = valid_app
+    else:
+        xyz_s, w_s, sel = xyz, weight, app_mask
+
+    app, rgb_d, tint, normal, rho = compute_ref_appfeature(cfg, params, xyz_s)
     normal = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-8)
-    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], xyz_s.shape)
     d = -dirs
     dot = jnp.sum(d * normal, axis=-1, keepdims=True)
     reflection = 2.0 * dot * normal - d
     apply = mlp_apply or make_ref_mlp(cfg).apply
-    rgb_s = apply(params["mlp"], xyz, reflection, app, -dot,
+    rgb_s = apply(params["mlp"], xyz_s, reflection, app, -dot,
                   1.0 / (rho + 1e-6))
     rgb_samples = tint * jnp.clip(rgb_s, 0.0, None) + rgb_d
-    rgb_samples = jnp.where(app_mask[..., None], rgb_samples, 0.0)
+    rgb_samples = jnp.where(sel[..., None], rgb_samples, 0.0)
 
     # normal-orientation penalty (:236-238); scalar over masked samples
     pen = nn.relu(-dot)[..., 0] ** 2
-    penalty = jnp.sum(jnp.where(app_mask, weight * pen, 0.0))
+    penalty = jnp.sum(jnp.where(sel, w_s * pen, 0.0))
 
     acc_map = weight.sum(-1)
-    rgb_map = (weight[..., None] * rgb_samples).sum(-2)
+    rgb_map = (w_s[..., None] * rgb_samples).sum(-2)
     if white_bg:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])
     rgb_map = jnp.clip(rgb_map, 0.0, 1.0)

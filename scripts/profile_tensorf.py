@@ -65,6 +65,57 @@ def measure(n_voxels, label):
          rays_per_s=round(4096 / dt, 1))
 
 
+
+
+def measure_variant(variant, label, n_voxels=160 ** 3):
+    from myc_nerfs_tpu.models import nerfpp as npp
+    from myc_nerfs_tpu.models import ref_tensorf as rt
+
+    mcfg = tf.TensoRFConfig(decomp="vm_split")
+    cfg = tt.TensoRFTrainConfig(n_voxel_init=n_voxels, batch_size=4096)
+    aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+    key0 = jax.random.PRNGKey(0)
+    if variant == "ref":
+        def fwd(mc, g, params, bufs, rays, key, white_bg):
+            return rt.ref_tensorf_forward(mc, g, params, bufs, rays, key,
+                                          white_bg)
+        def init_extra(params):
+            return rt.init_ref_heads(jax.random.PRNGKey(5), mcfg, params)
+    else:
+        pp = npp.NerfPPConfig()
+        def fwd(mc, g, params, bufs, rays, key, white_bg):
+            return npp.nerfpp_forward(mc, pp, g, params, bufs, rays, key)
+        def init_extra(params):
+            params = dict(params)
+            params["bg_net"] = npp.init_nerfpp(jax.random.PRNGKey(5), pp)
+            return params
+    trainer = tt.TensoRFTrainer(mcfg, cfg, aabb, key0, forward_fn=fwd)
+    trainer.params = init_extra(trainer.params)
+    trainer._rebuild(lr_scale=1.0)
+    key = jax.random.PRNGKey(1)
+    S = 8
+    rays = rays_batch(key, S * 4096).reshape(S, 4096, 6)
+    rgbs = jax.random.uniform(jax.random.fold_in(key, 2), (S, 4096, 3))
+    p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                               rays, rgbs, key, jnp.int32(0))
+    sync(p)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                                   rays, rgbs, jax.random.fold_in(key, i),
+                                   jnp.int32(8 * i))
+    sync(p)
+    dt = (time.perf_counter() - t0) / (reps * S)
+    emit(label, ms_per_iter=round(dt * 1e3, 2), iters_per_s=round(1.0 / dt, 1))
+
+
 if __name__ == "__main__":
-    measure(100 ** 3, "tensorf_vmsplit_100cube")
-    measure(300 ** 3, "tensorf_vmsplit_300cube")
+    import sys as _sys
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "base"
+    if which in ("base", "all"):
+        measure(100 ** 3, "tensorf_vmsplit_100cube")
+        measure(300 ** 3, "tensorf_vmsplit_300cube")
+    if which in ("variants", "all"):
+        measure_variant("ref", "ref_tensorf_160cube")
+        measure_variant("npp", "nerfpp_160cube")
