@@ -40,9 +40,10 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, ("data", "model"))
 
 
-def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (ray/batch) axis over the data axis."""
-    return NamedSharding(mesh, P("data"))
+def data_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Shard the ray/batch axis (``axis``) over the data axis."""
+    spec = (None,) * axis + ("data",)
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -71,8 +72,9 @@ def shard_ngp_params(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """Place ray-batch arrays with leading-axis data sharding."""
-    s = data_sharding(mesh)
+def shard_batch(mesh: Mesh, *arrays, axis: int = 0):
+    """Place ray-batch arrays with data sharding on ``axis`` (default the
+    leading axis; scan blocks shard axis 1, the per-step ray axis)."""
+    s = data_sharding(mesh, axis=axis)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]

@@ -85,3 +85,45 @@ def multichip_ngp_train_step(mesh, n_rays: int = 256,
                                               bg, jax.random.PRNGKey(7))
         jax.block_until_ready(metrics["loss"])
     return new_state, metrics
+
+
+def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
+                              shard_table: bool = True, seed: int = 0):
+    """The production dispatch shape under GSPMD: an n_steps lax.scan train
+    block (NGPTrainer._build_block) with rays dp-sharded and (optionally)
+    brick tables tp-sharded. Returns (state, last-step metrics)."""
+    model_cfg = NGPModelConfig(
+        grid=HashGridConfig(n_levels=4, desired_resolution=64.0))
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8)
+    tcfg = ngp_trainer.NGPTrainConfig(
+        n_rays_per_batch=n_rays, target_batch_size=1 << 10,
+        n_grid_uniform=1 << 10, n_grid_nonuniform=0)
+    trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
+                                     jax.random.PRNGKey(seed))
+    occ_on = trainer.state.occ._replace(
+        bitfield=jnp.ones_like(trainer.state.occ.bitfield),
+        density_grid=jnp.full_like(trainer.state.occ.density_grid, 0.05),
+        mean_density=jnp.asarray(0.05))
+    state = place_ngp_state(mesh, trainer.state._replace(occ=occ_on),
+                            shard_table=shard_table)
+
+    key = jax.random.PRNGKey(seed + 1)
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (n_steps * n_rays,)) * 6.28318
+    rays_o = jnp.stack([0.5 + 1.4 * jnp.cos(theta), 0.5 + 1.4 * jnp.sin(theta),
+                        jnp.full((n_steps * n_rays,), 0.5)], -1)
+    rays_d = (0.5 - rays_o)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = jax.random.uniform(k2, (n_steps * n_rays, 3))
+    bg = jnp.ones((n_steps, n_rays, 3))
+    ro, rd, tg = mesh_lib.shard_batch(
+        mesh, rays_o.reshape(n_steps, n_rays, 3),
+        rays_d.reshape(n_steps, n_rays, 3),
+        target.reshape(n_steps, n_rays, 3), axis=1)
+
+    block = trainer._build_block()
+    with mesh:
+        new_state, metrics, n_total = block(state, ro, rd, tg, bg,
+                                            jax.random.PRNGKey(7))
+        jax.block_until_ready(metrics["loss"])
+    return new_state, metrics

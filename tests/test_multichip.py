@@ -71,3 +71,13 @@ class TestNGPSpmd:
         _, met8 = spmd.multichip_ngp_train_step(m8, n_rays=64, shard_table=False)
         np.testing.assert_allclose(float(met1["loss"]), float(met8["loss"]),
                                    rtol=1e-4)
+
+    def test_dp_scan_block_runs(self, devices):
+        """The production dispatch shape: an n-step lax.scan train block
+        with rays dp-sharded on the per-step axis and tables tp-sharded."""
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        state, metrics = spmd.multichip_ngp_train_block(m, n_rays=128,
+                                                        n_steps=3,
+                                                        shard_table=True)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 3
