@@ -433,10 +433,12 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
         acc_map = weight.sum(-1)
         rgb_map = (w_c[..., None] * rgb_c).sum(-2)
         if white_bg:
-            rgb_map = rgb_map + bg_weight[..., None]
+            rgb_map = rgb_map + (1.0 - acc_map[..., None])
         rgb_map = jnp.clip(rgb_map, 0.0, 1.0)
         depth_map = (weight * z_vals).sum(-1)
-        # rgb_s on the full sample grid only for callers that inspect it
+        far_plane = rays[:, -1] if rays.shape[-1] > 6 else jnp.full_like(
+            acc_map, cfg.near_far[1])
+        depth_map = depth_map + (1.0 - acc_map) * far_plane
         return TensoRFOut(rgb_map=rgb_map, depth_map=depth_map, weight=weight,
                           sigma=sigma, bg_weight=bg_weight, z_vals=z_vals,
                           extras={"app_mask": app_mask, "valid": valid,
