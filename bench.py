@@ -246,8 +246,9 @@ def main():
 
     try:
         gres = measure_garf_train()
-    except Exception:
-        gres = {"rays_per_s": 0.0, "iters_per_s": 0.0}
+    except Exception as e:
+        gres = {"rays_per_s": 0.0, "iters_per_s": 0.0,
+                "error": str(e)[:200]}
 
     train_rate = res["train_rays_per_s"]
     print(json.dumps({
@@ -273,6 +274,7 @@ def main():
                 fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3),
             "garf_train_rays_per_s": round(gres["rays_per_s"], 1),
             "garf_train_iters_per_s": round(gres["iters_per_s"], 2),
+            **({"garf_train_error": gres["error"]} if "error" in gres else {}),
             "baseline": "0.54 Mrays/s train-side (133 it/s x 4096 rays), "
                         "instant-ngp on RTX 3090",
         },

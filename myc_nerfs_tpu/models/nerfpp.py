@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..render.composite import raw2alpha
+from ..ops.compaction import compact_first_k
 from . import tensorf as tf
 
 HUGE = 1e10
@@ -163,14 +164,11 @@ def nerfpp_forward(model_cfg: tf.TensoRFConfig, pp_cfg: NerfPPConfig,
     app_mask = weight > model_cfg.ray_march_weight_thres
     K = model_cfg.app_sample_budget
     apply = mlp_apply or tf.make_render_mlp(model_cfg).apply
-    if K and K < xyz.shape[1]:
-        # static app_mask compaction (see tensorf_forward): fg appearance
-        # runs on at most K weight>thresh survivors per ray
-        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)
-        j = jnp.arange(K, dtype=jnp.int32)
-        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)
-        idx = jnp.minimum(idx, xyz.shape[1] - 1)
-        valid_app = j[None, :] < c[:, -1:]
+    if K and K < xyz.shape[1] and buffers.get("alpha_volume") is not None:
+        # static app_mask compaction (see tensorf_forward; gated on the
+        # alpha mask existing): fg appearance runs on at most K
+        # weight>thresh survivors per ray
+        idx, valid_app = compact_first_k(app_mask, K)
         xyz_s = jnp.take_along_axis(xyz, idx[..., None], axis=1)
         w_s = jnp.where(valid_app,
                         jnp.take_along_axis(weight, idx, axis=1), 0.0)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.compaction import compact_first_k
 from ..ops.sh import eval_sh_bases
 from ..render.composite import raw2alpha
 from . import tensorf as tf
@@ -126,14 +127,11 @@ def ref_tensorf_forward(cfg: tf.TensoRFConfig, geom: tf.StageGeom, params,
     app_mask = weight > cfg.ray_march_weight_thres
 
     K = cfg.app_sample_budget
-    if K and K < xyz.shape[1]:
-        # static app_mask compaction (see tensorf_forward): all appearance
-        # heads + the reflection MLP run on at most K survivors per ray
-        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)
-        j = jnp.arange(K, dtype=jnp.int32)
-        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)
-        idx = jnp.minimum(idx, xyz.shape[1] - 1)
-        valid_app = j[None, :] < c[:, -1:]
+    if K and K < xyz.shape[1] and buffers.get("alpha_volume") is not None:
+        # static app_mask compaction (see tensorf_forward; gated on the
+        # alpha mask existing): all appearance heads + the reflection MLP
+        # run on at most K survivors per ray
+        idx, valid_app = compact_first_k(app_mask, K)
         xyz_s = jnp.take_along_axis(xyz, idx[..., None], axis=1)
         w_s = jnp.where(valid_app,
                         jnp.take_along_axis(weight, idx, axis=1), 0.0)

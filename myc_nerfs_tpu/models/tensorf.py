@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.compaction import compact_first_k
 from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
 from ..ops.sh import eval_sh_bases
 from ..render.composite import raw2alpha
@@ -60,9 +61,12 @@ class TensoRFConfig:
     # (tensorBase.py:505-518): appearance features + the shading MLP run on
     # at most this many weight>thresh survivors per ray (first-K by depth,
     # cumsum-rank compaction). 0 = evaluate all samples (exact but ~4x the
-    # appearance-side row traffic at typical survivor rates). Rays with
-    # more survivors than the budget drop the contribution of the deepest
-    # ones (T there is already < weight_thres * S in practice).
+    # appearance-side row traffic at typical survivor rates). Only active
+    # once an alpha mask exists (update_AlphaMask culls empty space, making
+    # survivors sparse); before that — early training with diffuse density,
+    # where most samples pass the weight threshold — the exact full-sample
+    # path runs. Post-mask rays with more survivors than the budget drop
+    # the deepest ones (T there is < weight_thres * S in practice).
     app_sample_budget: int = 96
 
 
@@ -408,15 +412,15 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
 
     dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
     K = cfg.app_sample_budget
-    if K and K < xyz.shape[1]:
+    use_budget = (K and K < xyz.shape[1]
+                  and buffers.get("alpha_volume") is not None)
+    if use_budget:
         # static compaction: appearance only at the first K weight>thresh
         # survivors per ray (the reference's boolean app_mask indexing,
-        # tensorBase.py:505-518, as a fixed-shape gather)
-        c = jnp.cumsum(app_mask.astype(jnp.int32), axis=-1)     # [N, S]
-        j = jnp.arange(K, dtype=jnp.int32)
-        idx = (c[:, None, :] <= j[None, :, None]).sum(-1)       # [N, K]
-        idx = jnp.minimum(idx, xyz.shape[1] - 1)
-        valid_app = j[None, :] < c[:, -1:]
+        # tensorBase.py:505-518, as a fixed-shape gather). Gated on the
+        # alpha mask existing: post-mask survivors are sparse; pre-mask the
+        # exact path below runs (see app_sample_budget docstring).
+        idx, valid_app = compact_first_k(app_mask, K)
         xyz_c = jnp.take_along_axis(xyz, idx[..., None], axis=1)
         w_c = jnp.take_along_axis(weight, idx, axis=1)
         w_c = jnp.where(valid_app, w_c, 0.0)

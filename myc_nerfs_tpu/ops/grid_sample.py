@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 __all__ = ["grid_sample_2d", "grid_sample_3d"]
 
+# volumes whose 8x corner-packed copy would exceed this many elements use
+# per-corner gathers instead (the pack is rebuilt per call)
+PACK_MAX_ELEMS = 1 << 24
+
 
 def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
     """[-1,1] -> [0, size-1] continuous index (align_corners=True)."""
@@ -95,21 +99,31 @@ def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     z0, wz = _base_and_weight(coords[..., 2].reshape(-1), D)
 
     g = jnp.moveaxis(grid, 0, -1)          # [D, H, W, C]
-    corners = []
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                c = g
-                if dx:
-                    c = _shift(c, 2)
-                if dy:
-                    c = _shift(c, 1)
-                if dz:
-                    c = _shift(c, 0)
-                corners.append(c)
-    packed = jnp.concatenate(corners, axis=-1).reshape(D * H * W, 8 * C)
-    rows = packed[(z0 * H + y0) * W + x0]  # [N, 8C]
-    v = [rows[:, i * C:(i + 1) * C] for i in range(8)]
+    if D * H * W * 8 * C <= PACK_MAX_ELEMS:
+        corners = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    c = g
+                    if dx:
+                        c = _shift(c, 2)
+                    if dy:
+                        c = _shift(c, 1)
+                    if dz:
+                        c = _shift(c, 0)
+                    corners.append(c)
+        packed = jnp.concatenate(corners, axis=-1).reshape(D * H * W, 8 * C)
+        rows = packed[(z0 * H + y0) * W + x0]  # [N, 8C]
+        v = [rows[:, i * C:(i + 1) * C] for i in range(8)]
+    else:
+        # packing a big volume (e.g. the 256^3 alpha mask) would materialize
+        # an 8x copy per call; fall back to 8 per-corner gathers
+        gf = g.reshape(D * H * W, C)
+        jx1 = jnp.minimum(x0 + (1 if W > 1 else 0), W - 1)
+        jy1 = jnp.minimum(y0 + (1 if H > 1 else 0), H - 1)
+        jz1 = jnp.minimum(z0 + (1 if D > 1 else 0), D - 1)
+        v = [gf[(zz * H + yy) * W + xx]
+             for zz in (z0, jz1) for yy in (y0, jy1) for xx in (x0, jx1)]
 
     wx = wx[:, None]
     wy = wy[:, None]

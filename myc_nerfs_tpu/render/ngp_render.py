@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.compaction import compact_first_k
 from .composite import composite_rgb, composite_weights
 from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
                         occupied_at, occupied_at_mip0, sigma_at)
@@ -147,8 +148,13 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
         xi = jax.random.uniform(key, (N, 1))
     else:
         xi = 0.5
-    # arc-rank of each sample, in occupied-bin units
-    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt / wb)[:, None]
+    # arc-rank of each sample, in occupied-bin units. A ray that misses the
+    # AABB has span == 0 -> wb == 0: the safe inverse keeps r/t/positions
+    # finite (0 * anything would otherwise be NaN and leak through the MLP
+    # into the composite even at zero weight); `hit` gates validity.
+    hit = span > 0.0
+    inv_wb = jnp.where(hit, 1.0 / jnp.where(hit, wb, 1.0), 0.0)
+    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt * inv_wb)[:, None]
     # bin index: first i with c_i > r == count of bins with c_i <= r; since c
     # is a 0/1 cumsum, the within-bin fraction is simply r - floor(r)
     bin_idx = (c[:, None, :] <= r[:, :, None]).sum(-1).astype(jnp.float32)
@@ -160,7 +166,7 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     occ_f = lookup(pos)
     lo, hi = rcfg.aabb
     inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
-    valid = occ_f & inbox & any_occ[:, None] & valid_budget
+    valid = occ_f & inbox & any_occ[:, None] & valid_budget & hit[:, None]
 
     extent = hi - lo
     warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)
@@ -252,7 +258,11 @@ def march_rays_fused(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
         xi = jax.random.uniform(key, (N, 1))
     else:
         xi = 0.5
-    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt / wb)[:, None]
+    # safe inverse: span == 0 (ray misses the AABB) would make every term
+    # NaN through 0 * inf; `hit` gates validity instead (see march_rays)
+    hit = span > 0.0
+    inv_wb = jnp.where(hit, 1.0 / jnp.where(hit, wb, 1.0), 0.0)
+    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt * inv_wb)[:, None]
     bin_idx = (c[:, None, :] <= r[:, :, None]).sum(-1).astype(jnp.float32)
     frac_in = r - jnp.floor(r)
     t = tmin[:, None] + (bin_idx + frac_in) * wb[:, None]
@@ -262,7 +272,8 @@ def march_rays_fused(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     gf = _sigma_probe(occ_cfg, occ_state.density_grid, pos, single_mip)
     lo, hi = rcfg.aabb
     inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
-    valid = (gf > thresh) & inbox & any_occ[:, None] & valid_budget
+    valid = ((gf > thresh) & inbox & any_occ[:, None] & valid_budget
+             & hit[:, None])
 
     extent = hi - lo
     warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)
@@ -291,14 +302,10 @@ def compact_marched(marched: MarchedRays, sigma_det: jnp.ndarray,
     logT_prev = jnp.concatenate(
         [jnp.zeros((N, 1)), jnp.cumsum(log1ma, axis=-1)[:, :-1]], axis=-1)
     surv = marched.valid & (jnp.exp(logT_prev) > eps)
-    c = jnp.cumsum(surv.astype(jnp.int32), axis=-1)            # [N, K]
-    j = jnp.arange(n_compact, dtype=jnp.int32)
-    idx = (c[:, None, :] <= j[None, :, None]).sum(-1)          # [N, M]
-    idx = jnp.minimum(idx, K - 1)
     # slot j holds the j-th survivor (valid by construction); slots past the
     # survivor count are masked. ONE packed gather (pos, t, dt); dirs are
     # per-ray broadcasts, not gathered.
-    valid = j[None, :] < c[:, -1:]
+    idx, valid = compact_first_k(surv, n_compact)
     packed = jnp.concatenate([marched.positions, marched.t[..., None],
                               marched.dt[..., None]], axis=-1)  # [N, K, 5]
     taken = jnp.take_along_axis(packed, idx[..., None], axis=1)  # [N, M, 5]
@@ -356,8 +363,12 @@ def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     folds the grid-sourced truncation into sample placement directly
     (march_rays_fused): training marches exactly n_compact samples per ray
     and there is no separate compaction stage."""
-    if rcfg.fused_march:
-        compacting = density_apply is not None and rcfg.n_compact > 0
+    compacting = density_apply is not None and rcfg.n_compact > 0
+    # compact_source='network' asks for the reference's detached-network
+    # truncation — that only exists on the non-fused path, so fall through
+    # rather than silently substituting the grid-sourced fused truncation
+    if rcfg.fused_march and not (compacting
+                                 and rcfg.compact_source == "network"):
         K = rcfg.n_compact if compacting else rcfg.n_samples
         marched = march_rays_fused(occ_cfg, rcfg, occ_state, rays_o, rays_d,
                                    key, n_samples=K)

@@ -43,6 +43,13 @@ def measure(n_voxels, label):
     cfg = tt.TensoRFTrainConfig(n_voxel_init=n_voxels, batch_size=4096)
     aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
     trainer = tt.TensoRFTrainer(mcfg, cfg, aabb, jax.random.PRNGKey(0))
+    # all-pass alpha volume: measurements reflect the post-alpha-mask
+    # regime where the app_sample_budget compaction is active (production
+    # stages after update_AlphaMask; the pre-mask stage runs the exact path)
+    trainer.buffers = dict(trainer.buffers)
+    trainer.buffers["alpha_volume"] = jnp.ones((64, 64, 64))
+    trainer.buffers["alpha_aabb"] = jnp.asarray(aabb)
+    trainer._rebuild(lr_scale=1.0)
     key = jax.random.PRNGKey(1)
     S = 16
     rays = rays_batch(key, S * 4096).reshape(S, 4096, 6)
@@ -91,6 +98,9 @@ def measure_variant(variant, label, n_voxels=160 ** 3):
             return params
     trainer = tt.TensoRFTrainer(mcfg, cfg, aabb, key0, forward_fn=fwd)
     trainer.params = init_extra(trainer.params)
+    trainer.buffers = dict(trainer.buffers)
+    trainer.buffers["alpha_volume"] = jnp.ones((64, 64, 64))
+    trainer.buffers["alpha_aabb"] = jnp.asarray(aabb)
     trainer._rebuild(lr_scale=1.0)
     key = jax.random.PRNGKey(1)
     S = 8

@@ -353,7 +353,6 @@ class TestFusedMarch:
         grid = np.zeros((1, G, G, G), np.float32)
         for lo, hi in slabs:
             grid[0, int(lo * G):int(hi * G)] = val
-        bits = grid > min(0.01, grid.max(initial=0.0) * 0 + grid.mean())
         state = occ.init_occupancy(cfg)._replace(
             density_grid=jnp.asarray(grid),
             bitfield=jnp.asarray(grid > 0.0),
@@ -442,3 +441,33 @@ class TestFusedMarch:
         lo_a, hi_a = rcfg.aabb
         xs = np.asarray(m.positions[0, :, 0]) * (hi_a - lo_a) + lo_a  # unwarp
         assert (xs[valid] >= 0.97).all() and (xs[valid] <= 1.33).all()
+
+    def test_miss_ray_stays_finite_through_render(self):
+        """A ray that misses the AABB entirely must produce FINITE
+        positions (span=0 previously made r=inf -> NaN t/positions, and the
+        NaN leaked through the MLP into the composite at zero weight)."""
+        from myc_nerfs_tpu.render.ngp_render import (NGPRenderConfig,
+                                                     march_rays,
+                                                     march_rays_fused)
+
+        cfg = occ.OccupancyConfig(grid_size=32, n_cascades=1)
+        grid = np.zeros((1, 32, 32, 32), np.float32)
+        grid[0, :, :, :] = 0.05
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.asarray(grid),
+            bitfield=jnp.ones((1, 32, 32, 32), bool),
+            mean_density=jnp.asarray(0.05))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8,
+                               near_distance=0.0)
+        # one hit ray, one ray pointing away from the box
+        rays_o = jnp.asarray([[0.5, 0.5, -1.0], [0.5, 0.5, -1.0]])
+        rays_d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+        for fn in (march_rays_fused,):
+            m = fn(cfg, rcfg, state, rays_o, rays_d, None)
+            assert np.isfinite(np.asarray(m.positions)).all()
+            assert np.isfinite(np.asarray(m.t)).all()
+            assert bool(m.valid[0].any()) and not bool(m.valid[1].any())
+        m = march_rays(cfg, rcfg, state.bitfield, rays_o, rays_d, None)
+        assert np.isfinite(np.asarray(m.positions)).all()
+        assert np.isfinite(np.asarray(m.t)).all()
+        assert bool(m.valid[0].any()) and not bool(m.valid[1].any())

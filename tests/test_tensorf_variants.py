@@ -74,3 +74,91 @@ class TestNDC:
         out = tf.tensorf_forward(cfg, geom, params, buffers, rays,
                                  ndc_ray=True)
         assert np.isfinite(np.asarray(out.rgb_map)).all()
+
+
+class TestAppSampleBudget:
+    """The static app_sample_budget compaction must equal the exact
+    full-sample path whenever per-ray survivors fit the budget (all three
+    forwards), and stays OFF without an alpha mask."""
+
+    def _setup(self, budget):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myc_nerfs_tpu.models import tensorf as tf
+
+        cfg = tf.TensoRFConfig(density_n_comp=(4, 4, 4), app_n_comp=(4, 4, 4),
+                               app_dim=9, featureC=16, fea_pe=2, view_pe=2,
+                               app_sample_budget=budget)
+        aabb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], np.float32)
+        geom = tf.compute_stage_geom(cfg, aabb, (16, 16, 16),
+                                     n_samples_cap=24)
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, aabb,
+                                          (16, 16, 16))
+        # give the density planes real structure so app_mask is sparse
+        params["density_plane"] = tuple(p * 5.0
+                                        for p in params["density_plane"])
+        # an all-pass alpha volume: enables the budget without changing
+        # validity
+        buffers = dict(buffers)
+        buffers["alpha_volume"] = jnp.ones((8, 8, 8))
+        buffers["alpha_aabb"] = jnp.asarray(aabb)
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(rng.uniform(-2.2, -1.8, (6, 3)), jnp.float32)
+        d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+        rays = jnp.concatenate([o, d], -1)
+        return cfg, geom, params, buffers, rays
+
+    def test_tensorf_budget_matches_exact(self):
+        import dataclasses
+
+        import numpy as np
+
+        from myc_nerfs_tpu.models import tensorf as tf
+
+        cfg_b, geom, params, buffers, rays = self._setup(budget=16)
+        cfg_e = dataclasses.replace(cfg_b, app_sample_budget=0)
+        out_b = tf.tensorf_forward(cfg_b, geom, params, buffers, rays)
+        out_e = tf.tensorf_forward(cfg_e, geom, params, buffers, rays)
+        # survivors fit the 16-slot budget on every ray?
+        surv = np.asarray(out_e.extras["app_mask"]).sum(-1)
+        assert (surv <= 16).all(), f"test scene too dense: {surv}"
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_e.rgb_map), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b.depth_map),
+                                   np.asarray(out_e.depth_map), atol=1e-5)
+
+    def test_ref_tensorf_budget_matches_exact(self):
+        import dataclasses
+
+        import jax
+        import numpy as np
+
+        from myc_nerfs_tpu.models import ref_tensorf as rt
+        from myc_nerfs_tpu.models import tensorf as tf
+
+        cfg_b, geom, params, buffers, rays = self._setup(budget=16)
+        params = rt.init_ref_heads(jax.random.PRNGKey(1), cfg_b, params)
+        cfg_e = dataclasses.replace(cfg_b, app_sample_budget=0)
+        out_b = rt.ref_tensorf_forward(cfg_b, geom, params, buffers, rays)
+        out_e = rt.ref_tensorf_forward(cfg_e, geom, params, buffers, rays)
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_e.rgb_map), atol=1e-5)
+        np.testing.assert_allclose(float(out_b.extras["penalty"]),
+                                   float(out_e.extras["penalty"]), atol=1e-5)
+
+    def test_budget_off_without_alpha_mask(self):
+        import numpy as np
+
+        from myc_nerfs_tpu.models import tensorf as tf
+
+        cfg, geom, params, buffers, rays = self._setup(budget=4)
+        buffers = dict(buffers)
+        buffers["alpha_volume"] = None
+        out = tf.tensorf_forward(cfg, geom, params, buffers, rays)
+        # with no alpha mask the exact path runs: rgb at every app_mask
+        # sample contributes — a 4-slot budget would drop most of them
+        assert "app_valid" not in out.extras
