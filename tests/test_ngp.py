@@ -471,3 +471,41 @@ class TestFusedMarch:
         assert np.isfinite(np.asarray(m.positions)).all()
         assert np.isfinite(np.asarray(m.t)).all()
         assert bool(m.valid[0].any()) and not bool(m.valid[1].any())
+
+    def test_network_compact_source_honored_under_fused_default(self):
+        """compact_source='network' must reach the reference-shaped
+        detached-pass path even when fused_march is left at its default —
+        the fused branch previously swallowed it silently."""
+        import dataclasses
+
+        from myc_nerfs_tpu.models import ngp as ngp_mod
+        from myc_nerfs_tpu.render.ngp_render import (NGPRenderConfig,
+                                                     render_rays_ngp)
+
+        cfg = occ.OccupancyConfig(grid_size=32, n_cascades=1)
+        grid = np.zeros((1, 32, 32, 32), np.float32)
+        grid[0, 8:24, 8:24, 8:24] = 0.05
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.asarray(grid),
+            bitfield=jnp.asarray(grid > 0.0),
+            mean_density=jnp.asarray(grid[0].mean()))
+        model = ngp_mod.NGPModel(ngp_mod.NGPModelConfig(
+            grid=ngp_mod.HashGridConfig(n_levels=4, desired_resolution=64.0)))
+        params = model.init(jax.random.PRNGKey(0))
+        rays_o = jnp.asarray([[0.5, 0.5, -1.0]])
+        rays_d = jnp.asarray([[0.0, 0.0, 1.0]])
+        bg = jnp.ones(3)
+
+        base = NGPRenderConfig(aabb_scale=1, n_coarse=64, n_samples=16,
+                               n_compact=8, near_distance=0.0)
+        net_fuseddefault = render_rays_ngp(
+            cfg, dataclasses.replace(base, compact_source="network"),
+            model.apply, params, state, rays_o, rays_d, bg, None,
+            density_apply=model.density_raw)
+        net_explicit = render_rays_ngp(
+            cfg, dataclasses.replace(base, compact_source="network",
+                                     fused_march=False),
+            model.apply, params, state, rays_o, rays_d, bg, None,
+            density_apply=model.density_raw)
+        np.testing.assert_allclose(np.asarray(net_fuseddefault.rgb),
+                                   np.asarray(net_explicit.rgb), atol=1e-6)
