@@ -157,3 +157,17 @@ class TestScenesDriver:
         n = os.listdir(os.path.join(out, "demo_ngp"))
         assert any(p.endswith(".png") for p in t)
         assert any(p.endswith(".png") for p in n)
+
+    def test_ngp_render_task_writes_video(self, in_tmp):
+        """--task render: spherical-path video (Runner.render parity,
+        runner.py:105-125)."""
+        from myc_nerfs_tpu.cli import run_net
+
+        cfgp = os.path.join(REPO, "configs/ngp/demo_synthetic.py")
+        run_net.main(["--config-file", cfgp, "--task", "train",
+                      "--steps", "5"])
+        out = run_net.main(["--config-file", cfgp, "--task", "render"])
+        has_mp4 = os.path.exists(os.path.join(out, "demo.mp4"))
+        has_frames = os.path.isdir(os.path.join(out, "demo")) and \
+            len(os.listdir(os.path.join(out, "demo"))) > 0
+        assert has_mp4 or has_frames
