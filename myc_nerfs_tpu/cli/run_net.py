@@ -239,12 +239,17 @@ def main(argv: Optional[list] = None):
     elif args.task == "render":
         from ..evaluation.visualization import write_video
 
+        # Runner.render uses the dataset's camera intrinsics along the
+        # spherical path (runner.py:105-125), not a synthetic focal.
+        try:
+            _, _, ev_intrs = load_eval_views(cfg, data, H, W)
+        except (FileNotFoundError, AssertionError):
+            ev_intrs = []
+        intr = (jnp.asarray(ev_intrs[0]) if len(ev_intrs) else jnp.asarray(
+            [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]))
         frames = []
         for c2w in path_spherical(cfg.get("render_frames", 8)):
-            rgb, _ = trainer.render_image(
-                jnp.asarray(c2w), jnp.asarray(
-                    [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]),
-                H, W)
+            rgb, _ = trainer.render_image(jnp.asarray(c2w), intr, H, W)
             frames.append(np.asarray(jnp.clip(rgb, 0, 1)))
         out = write_video(os.path.join(out_dir, "demo.mp4"), frames, fps=8)
         log.info(f"render -> {out or out_dir + '/demo/'}")

@@ -24,8 +24,32 @@ from ..utils.logging import MetricWriter, log
 from ..utils.metrics import psnr
 
 
+# every txt key this CLI consumes (reference flag surface, opt.py:4-156).
+# Reference keys we deliberately don't map get a one-line warning instead of
+# being silently dropped (e.g. dataset_name — blender only here; ndc_ray —
+# blender scenes never set it; N_vis/vis_every — eval cadence is fixed).
+_KNOWN_KEYS = frozenset((
+    "L1_weight_inital", "L1_weight_rest", "N_voxel_final", "N_voxel_init",
+    "Ortho_weight", "TV_weight_app", "TV_weight_density", "alpha_mask_thre",
+    "basedir", "batch_size", "bbox", "bg_D", "bg_freq", "bg_samples",
+    "bg_view_freq", "data_dim_color", "datadir", "density_shift",
+    "distance_scale", "downsample_test", "downsample_train", "expname",
+    "far", "fea2denseAct", "fea_pe", "featureC", "global_step", "grid_size",
+    "has_opt_state", "lr_basis", "lr_decay_iters", "lr_decay_target_ratio",
+    "lr_init", "lr_scale", "lr_upsample_reset", "model_name", "nSamples",
+    "n_iters", "n_lamb_sh", "n_lamb_sigma", "near", "near_far",
+    "normal_vector_penalty_weight", "pos_pe", "radii", "render_path_frames",
+    "rm_weight_mask_thre", "shadingMode", "step_ratio", "synthetic",
+    "synthetic_size", "synthetic_views", "update_AlphaMask_list",
+    "upsamp_list", "view_pe", "white_bkgd"))
+
+
 def parse_txt_config(path: str) -> dict:
-    """configargparse 'key = value' files (tensorf-myc/configs/*.txt)."""
+    """configargparse 'key = value' files (tensorf-myc/configs/*.txt).
+
+    Warns on keys the rebuild doesn't consume so a reference config never
+    silently loses behavior (round-2 review item).
+    """
     out = {}
     with open(path) as f:
         for line in f:
@@ -37,6 +61,9 @@ def parse_txt_config(path: str) -> dict:
                 out[k] = ast.literal_eval(v)
             except (ValueError, SyntaxError):
                 out[k] = v
+            if k not in _KNOWN_KEYS:
+                log.info(f"config key '{k}' is not consumed by this CLI "
+                         "(ignored)")
     return out
 
 
