@@ -190,6 +190,8 @@ class NGPModelConfig:
 
     ``grid_impl``: 'brick' (default) is the TPU-fast brick-packed layout
     (ops/brick_grid.py — one wide-row gather per sample per level);
+    'brick2' pairs adjacent hashed levels into double-width rows (one
+    gather/scatter per PAIR — round-3 row-issue-rate lever, quality-gated);
     'hash' is the exact vertex-level reference layout (pure-XLA gathers,
     kept for parity tests and cross-checks).
     """
@@ -218,6 +220,18 @@ class NGPModel:
                 table, pos, cfg.grid, self.levels, compute_dtype=enc_dtype)
             self._init_table = lambda key: bg.init_brick_table(
                 key, cfg.grid, self.levels)
+        elif cfg.grid_impl == "brick2":
+            from ..ops import brick_grid as bg
+
+            self._bg = bg
+            self.levels = bg.compute_brick_levels(cfg.grid)
+            self.groups = bg.compute_level_groups(self.levels)
+            enc_dtype = jnp.bfloat16 if cfg.use_bf16 else None
+            self._encode = lambda table, pos: bg.paired_encode(
+                table, pos, cfg.grid, self.levels, self.groups,
+                compute_dtype=enc_dtype)
+            self._init_table = lambda key: bg.init_paired_table(
+                key, cfg.grid, self.levels, self.groups)
         else:
             self.levels = compute_levels(cfg.grid)
             self._encode = lambda table, pos: hash_encode(

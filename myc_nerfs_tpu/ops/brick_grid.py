@@ -158,6 +158,147 @@ def _brick_ids(levels: BrickLevels, lv: int, brick: jnp.ndarray) -> jnp.ndarray:
     return (idx & np.uint32(n - 1)).astype(jnp.int32)
 
 
+@dataclasses.dataclass(frozen=True)
+class LevelGroups:
+    """Static grouping of levels into shared-row tables (paired bricks).
+
+    Round-3 measurement (scripts/probe_r3a/r3b): the encode-backward
+    scatter-add is bandwidth/issue bound per ISSUED row — duplication of
+    target rows is irrelevant, and any sort/permute pre-accumulation pays
+    the same per-row cost it saves. The remaining lever is issuing fewer,
+    fatter rows: PAIR adjacent hashed levels into one table whose row is
+    keyed by the finer level's 4^3 brick and stores both the finer level's
+    5^3 verts and the coarser level's 5^3 verts covering the same spatial
+    extent (valid whenever the level scale ratio r >= 4/3: the coarse
+    window spans 4/r + 1 < 4 cells -> 5 verts per axis). Halves both the
+    gathered rows (forward) and the scattered rows (backward) for the
+    hashed levels at identical parameter budget: rows = 2^log2_hashmap/128,
+    width = 2*F*128.
+
+    Semantics change vs per-level bricks (quality-gated, see
+    scripts/quality_parity.py): the coarser member's verts are stored per
+    fine-brick row, so each coarse vert has ~r^3 independent copies and the
+    coarse level is hashed at the finer level's granularity. The finer
+    member's collision structure is IDENTICAL to the shipped brick layout.
+
+    groups: tuples of member level ids, coarse->fine; the last member is
+    the KEY level whose brick grid indexes the row. Dense levels stay
+    single so their exact (collision-free) semantics are untouched.
+    """
+
+    groups: Tuple[Tuple[int, ...], ...]
+
+
+def compute_level_groups(levels: BrickLevels,
+                         min_ratio: float = 4.0 / 3.0) -> LevelGroups:
+    """Pair consecutive hashed levels from the fine end; dense levels and
+    any leftover/ratio-violating hashed level stay single."""
+    hashed = [lv for lv in range(levels.n_levels) if not levels.dense[lv]]
+    groups = [(lv,) for lv in range(levels.n_levels) if levels.dense[lv]]
+    i = len(hashed) - 1
+    while i >= 0:
+        if i >= 1:
+            c, f = hashed[i - 1], hashed[i]
+            if f == c + 1 and levels.scales[f] / levels.scales[c] >= min_ratio:
+                groups.append((c, f))
+                i -= 2
+                continue
+        groups.append((hashed[i],))
+        i -= 1
+    groups.sort()
+    return LevelGroups(groups=tuple(groups))
+
+
+def init_paired_table(key: jax.Array, cfg: HashGridConfig,
+                      levels: Optional[BrickLevels] = None,
+                      groups: Optional[LevelGroups] = None,
+                      dtype=jnp.float32) -> List[jnp.ndarray]:
+    """One array per GROUP: [rows, len(group) * F * 128], uniform(+-1e-4)
+    (hash_encoder.py:22-23). Single groups match init_brick_table exactly;
+    paired groups hold two levels' budget in double-width rows."""
+    levels = levels or compute_brick_levels(cfg)
+    groups = groups or compute_level_groups(levels)
+    keys = jax.random.split(key, len(groups.groups))
+    out = []
+    for g, members in enumerate(groups.groups):
+        rows = levels.n_bricks[members[-1]]
+        width = len(members) * cfg.n_features * ROW_VERTS
+        out.append(jax.random.uniform(keys[g], (rows, width), dtype=dtype,
+                                      minval=-1e-4, maxval=1e-4))
+    return out
+
+
+def paired_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
+                  cfg: HashGridConfig,
+                  levels: Optional[BrickLevels] = None,
+                  groups: Optional[LevelGroups] = None,
+                  stop_pos_grad: bool = True,
+                  compute_dtype=None) -> jnp.ndarray:
+    """Grouped-table variant of brick_encode: one wide-row gather (and one
+    scatter-add in the backward) per GROUP instead of per level. Output is
+    assembled in level order, identical shape/semantics contract to
+    brick_encode ([..., n_levels * F]).
+    """
+    levels = levels or compute_brick_levels(cfg)
+    groups = groups or compute_level_groups(levels)
+    F = cfg.n_features
+    shape = positions.shape[:-1]
+    pos = positions.reshape(-1, 3)
+    if stop_pos_grad:
+        pos = jax.lax.stop_gradient(pos)
+    N = pos.shape[0]
+    wdtype = compute_dtype or tables[0].dtype
+    Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in _SELECTORS)
+    iota5 = jnp.arange(BRICK_VERTS, dtype=pos.dtype)
+
+    def hat128(u):
+        h = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota5))  # [N,3,5]
+        h = h.astype(wdtype)
+        return (h[:, 0] @ Sx) * (h[:, 1] @ Sy) * (h[:, 2] @ Sz)
+
+    # key-level (finest member) cell math, batched over groups like
+    # brick_encode's fused all-level chain
+    key_lvls = [m[-1] for m in groups.groups]
+    key_scales = jnp.asarray([levels.scales[k] for k in key_lvls], pos.dtype)
+    p = pos[:, None, :] * key_scales[None, :, None] + 0.5      # [N, G, 3]
+    base = jnp.floor(p)
+    brick = jnp.floor(base * (1.0 / BRICK_CELLS))
+    u_key = p - brick * BRICK_CELLS                            # [0, 4)
+
+    per_level_feats: List[Optional[jnp.ndarray]] = [None] * levels.n_levels
+    for g, members in enumerate(groups.groups):
+        table = tables[g]
+        if compute_dtype is not None and table.dtype != compute_dtype:
+            table = table.astype(compute_dtype)
+        key_lv = members[-1]
+        bids = _brick_ids(levels, key_lv, brick[:, g])
+        n_rows = table.shape[0]
+        if len(members) == 1 and n_rows <= ONEHOT_MAX_ROWS:
+            onehot = (bids[:, None]
+                      == jnp.arange(n_rows, dtype=jnp.int32)[None, :])
+            rows = onehot.astype(wdtype) @ table
+        else:
+            rows = table[bids]
+        # per-member hat weights: the key member uses its own brick-local
+        # coords; a coarser member's window base is a function of the KEY
+        # brick only, so every sample in the row agrees on the stored verts
+        for j, lv in enumerate(members):
+            if lv == key_lv:
+                wl = hat128(u_key[:, g])
+            else:
+                r = levels.scales[key_lv] / levels.scales[lv]
+                x_c = pos * jnp.asarray(levels.scales[lv], pos.dtype) + 0.5
+                base_c = jnp.floor((BRICK_CELLS * brick[:, g] - 0.5)
+                                   * (1.0 / r) + 0.5)
+                wl = hat128(x_c - base_c)
+            off = j * F * ROW_VERTS
+            feats = [(rows[:, off + f * ROW_VERTS:off + (f + 1) * ROW_VERTS]
+                      * wl).sum(-1) for f in range(F)]
+            per_level_feats[lv] = jnp.stack(feats, axis=-1)
+    out = jnp.concatenate(per_level_feats, axis=-1)
+    return out.reshape(shape + (cfg.out_dim,))
+
+
 def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
                  cfg: HashGridConfig,
                  levels: Optional[BrickLevels] = None,

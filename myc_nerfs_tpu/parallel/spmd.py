@@ -8,35 +8,162 @@ full multi-chip NGP training step for tests and the driver's dry run.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.ngp import HashGridConfig, NGPModel, NGPModelConfig
+try:  # jax>=0.4.35 top-level export
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..models.ngp import HASH_PRIMES, HashGridConfig, NGPModel, NGPModelConfig
 from ..render.ngp_render import NGPRenderConfig
 from ..train import ngp_trainer
 from . import mesh as mesh_lib
 
 
 def place_ngp_state(mesh, state: ngp_trainer.NGPTrainState,
-                    shard_table: bool = True) -> ngp_trainer.NGPTrainState:
-    """Replicate the train state; optionally shard hash-table rows (TP)."""
-    rep = mesh_lib.replicated(mesh)
+                    shard_table: bool = True,
+                    table_mode: Optional[str] = None) -> ngp_trainer.NGPTrainState:
+    """Replicate the train state; optionally shard hash tables (TP).
 
+    table_mode: 'rows' shards each table's rows over "model" (legacy —
+    every gather becomes cross-chip); 'levels' shards a LevelTPModel's
+    stacked hashed-level axis over "model" (each chip owns whole levels,
+    gathers stay local — VERDICT r2 #4); 'replicated' replicates.
+    Default keeps the old shard_table boolean semantics ('rows').
+    """
+    rep = mesh_lib.replicated(mesh)
+    if table_mode is None:
+        table_mode = "rows" if shard_table else "replicated"
     n_model = mesh.shape.get("model", 1)
 
     def place(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if table_mode == "levels" and "hashed" in names \
+                and hasattr(leaf, "shape") and leaf.ndim == 3:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P("model", None, None)))
         # brick tables are per-level arrays; dense levels can have odd row
         # counts (e.g. 11^3) — shard only evenly divisible tables (the big
         # hashed levels are power-of-two), replicate the rest
-        if shard_table and "table" in names and hasattr(leaf, "shape") \
+        if table_mode == "rows" and "table" in names and hasattr(leaf, "shape") \
                 and leaf.ndim >= 2 and leaf.shape[0] % max(n_model, 1) == 0:
             return jax.device_put(leaf, mesh_lib.table_sharding(mesh))
         return jax.device_put(leaf, rep)
 
     return jax.tree_util.tree_map_with_path(place, state)
+
+
+class LevelTPModel(NGPModel):
+    """NGP model whose hashed brick levels are sharded WHOLE-LEVEL over the
+    mesh "model" axis (VERDICT r2 #4).
+
+    Row-sharding the brick tables makes every per-sample gather a
+    cross-chip access. Here each model-chip owns len(hashed)/n_model
+    complete level tables (stacked [Lh, rows, width], sharded on axis 0),
+    so gathers and the backward scatter-adds stay chip-local; the only
+    collective in the encode is the feature block all-gather implied by
+    ``out_specs=P("data", "model")`` — one [n_local, F*Lh_local] block per
+    chip per apply. Dense (coarse) levels are small and replicated,
+    encoded by the plain brick path.
+
+    Matches SURVEY §2.5's TP row; the reference has no multi-GPU support
+    at all (barf-myc/options.py:102).
+    """
+
+    def __init__(self, cfg: NGPModelConfig, mesh):
+        assert cfg.grid_impl == "brick", "level TP is defined for 'brick'"
+        super().__init__(cfg)
+        from ..ops import brick_grid as bg
+
+        self.mesh = mesh
+        lv = self.levels
+        self.dense_ids = [l for l in range(lv.n_levels) if lv.dense[l]]
+        self.hashed_ids = [l for l in range(lv.n_levels) if not lv.dense[l]]
+        nm = mesh.shape.get("model", 1)
+        assert self.hashed_ids, "grid has no hashed levels to shard"
+        assert len(self.hashed_ids) % nm == 0, \
+            f"{len(self.hashed_ids)} hashed levels not divisible by model={nm}"
+        assert self.dense_ids == list(range(len(self.dense_ids))), \
+            "dense levels must be the contiguous coarse prefix"
+        nd_ = len(self.dense_ids)
+        self.dense_levels = bg.BrickLevels(
+            scales=lv.scales[:nd_], resolutions=lv.resolutions[:nd_],
+            brick_dims=lv.brick_dims[:nd_], dense=lv.dense[:nd_],
+            n_bricks=lv.n_bricks[:nd_],
+            bricks_per_level=lv.bricks_per_level, n_levels=nd_)
+        self.dense_cfg = dataclasses.replace(cfg.grid, n_levels=nd_)
+        self._enc_dtype = jnp.bfloat16 if cfg.use_bf16 else None
+        self._encode = self._tp_encode  # type: ignore[assignment]
+
+    def init(self, key: jax.Array):
+        params = super().init(key)
+        tabs = params["table"]
+        return {"table": {"dense": [tabs[l] for l in self.dense_ids],
+                          "hashed": jnp.stack([tabs[l]
+                                               for l in self.hashed_ids])},
+                "mlp": params["mlp"]}
+
+    def _tp_encode(self, table, positions):
+        from ..ops import brick_grid as bg
+
+        shape = positions.shape[:-1]
+        pos = jax.lax.stop_gradient(positions.reshape(-1, 3))
+        dense_out = bg.brick_encode(
+            table["dense"], pos, self.dense_cfg, self.dense_levels,
+            compute_dtype=self._enc_dtype)
+        hashed_out = self._hashed_tp(table["hashed"], pos)
+        out = jnp.concatenate([dense_out,
+                               hashed_out.astype(dense_out.dtype)], -1)
+        return out.reshape(shape + (self.cfg.grid.out_dim,))
+
+    def _hashed_tp(self, stacked: jnp.ndarray, pos: jnp.ndarray):
+        from ..ops import brick_grid as bg
+
+        lv = self.levels
+        F = self.cfg.grid.n_features
+        R = stacked.shape[1]
+        assert R & (R - 1) == 0
+        wdtype = self._enc_dtype or stacked.dtype
+        scales = jnp.asarray([lv.scales[l] for l in self.hashed_ids],
+                             pos.dtype)
+        Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in bg._SELECTORS)
+        iota5 = jnp.arange(bg.BRICK_VERTS, dtype=pos.dtype)
+
+        def local_enc(tabs, scales_l, p):
+            # tabs [L_local, R, F*128] (this chip's whole levels),
+            # scales_l [L_local], p [n_local, 3]
+            x = p[:, None, :] * scales_l[None, :, None] + 0.5
+            brick = jnp.floor(jnp.floor(x) * (1.0 / bg.BRICK_CELLS))
+            u = x - brick * bg.BRICK_CELLS
+            bu = brick.astype(jnp.uint32)
+            idx = ((bu[..., 0] * np.uint32(HASH_PRIMES[0])
+                    ^ bu[..., 1] * np.uint32(HASH_PRIMES[1])
+                    ^ bu[..., 2] * np.uint32(HASH_PRIMES[2]))
+                   & np.uint32(R - 1)).astype(jnp.int32)
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota5))
+            hat = hat.astype(wdtype)
+            outs = []
+            for l in range(tabs.shape[0]):
+                wl = ((hat[:, l, 0] @ Sx) * (hat[:, l, 1] @ Sy)
+                      * (hat[:, l, 2] @ Sz))
+                rows = tabs[l].astype(wdtype)[idx[:, l]]
+                for f in range(F):
+                    outs.append((rows[:, f * bg.ROW_VERTS:
+                                      (f + 1) * bg.ROW_VERTS] * wl).sum(-1))
+            return jnp.stack(outs, -1)  # [n_local, L_local*F]
+
+        f = shard_map(local_enc, mesh=self.mesh,
+                      in_specs=(P("model", None, None), P("model"),
+                                P("data", None)),
+                      out_specs=P("data", "model"))
+        return f(stacked, scales, pos)
 
 
 def multichip_ngp_train_step(mesh, n_rays: int = 256,
@@ -88,24 +215,35 @@ def multichip_ngp_train_step(mesh, n_rays: int = 256,
 
 
 def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
-                              shard_table: bool = True, seed: int = 0):
+                              shard_table: bool = True, seed: int = 0,
+                              table_mode: Optional[str] = None):
     """The production dispatch shape under GSPMD: an n_steps lax.scan train
-    block (NGPTrainer._build_block) with rays dp-sharded and (optionally)
-    brick tables tp-sharded. Returns (state, last-step metrics)."""
-    model_cfg = NGPModelConfig(
-        grid=HashGridConfig(n_levels=4, desired_resolution=64.0))
+    block (NGPTrainer._build_block) with rays dp-sharded and brick tables
+    tp-sharded. table_mode 'levels' uses LevelTPModel (whole-level
+    sharding, chip-local gathers); 'rows'/'replicated' use the plain model.
+    Returns (state, last-step metrics)."""
+    if table_mode == "levels":
+        # a grid with hashed levels (the sharded ones): 1 dense + 4 hashed
+        model_cfg = NGPModelConfig(
+            grid=HashGridConfig(n_levels=5, log2_hashmap_size=14,
+                                desired_resolution=256.0))
+    else:
+        model_cfg = NGPModelConfig(
+            grid=HashGridConfig(n_levels=4, desired_resolution=64.0))
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8)
     tcfg = ngp_trainer.NGPTrainConfig(
         n_rays_per_batch=n_rays, target_batch_size=1 << 10,
         n_grid_uniform=1 << 10, n_grid_nonuniform=0)
+    model = (LevelTPModel(model_cfg, mesh) if table_mode == "levels"
+             else None)
     trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
-                                     jax.random.PRNGKey(seed))
+                                     jax.random.PRNGKey(seed), model=model)
     occ_on = trainer.state.occ._replace(
         bitfield=jnp.ones_like(trainer.state.occ.bitfield),
         density_grid=jnp.full_like(trainer.state.occ.density_grid, 0.05),
         mean_density=jnp.asarray(0.05))
     state = place_ngp_state(mesh, trainer.state._replace(occ=occ_on),
-                            shard_table=shard_table)
+                            shard_table=shard_table, table_mode=table_mode)
 
     key = jax.random.PRNGKey(seed + 1)
     k1, k2 = jax.random.split(key)

@@ -78,5 +78,7 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("both", "brick"):
         run("brick_fused (shipped)", "brick", True)
+    if which in ("both", "brick2"):
+        run("brick2_paired_fused", "brick2", True)
     if which in ("both", "hash"):
         run("hash_reference_shape", "hash", False)

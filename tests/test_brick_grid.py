@@ -154,3 +154,121 @@ class TestOneHotRouting:
         for a, b in zip(grads_o, grads_g):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=2e-6)
+
+
+class TestPairedBricks:
+    """grid_impl='brick2': adjacent hashed levels share one double-width row
+    (round-3 scatter/gather row-issue lever)."""
+
+    def test_group_structure_and_budget_parity(self):
+        cfg = ngp.HashGridConfig(n_levels=16, n_features=2,
+                                 log2_hashmap_size=19)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels)
+        flat = [lv for g in groups.groups for lv in g]
+        assert sorted(flat) == list(range(16))
+        for g in groups.groups:
+            if len(g) == 2:
+                c, f = g
+                assert f == c + 1
+                assert not levels.dense[c] and not levels.dense[f]
+                assert levels.scales[f] / levels.scales[c] >= 4.0 / 3.0
+            else:
+                assert len(g) == 1
+        # at least 5 pairs at the reference config
+        assert sum(1 for g in groups.groups if len(g) == 2) >= 5
+        # parameter budget identical to per-level bricks
+        t1 = bg.init_brick_table(jax.random.PRNGKey(0), cfg, levels)
+        t2 = bg.init_paired_table(jax.random.PRNGKey(0), cfg, levels, groups)
+        assert sum(t.size for t in t1) == sum(t.size for t in t2)
+
+    def test_all_dense_matches_brick_encode(self):
+        cfg = ngp.HashGridConfig(n_levels=2, n_features=2, base_resolution=16,
+                                 log2_hashmap_size=19, desired_resolution=24)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels)
+        assert all(len(g) == 1 for g in groups.groups)
+        table = bg.init_brick_table(jax.random.PRNGKey(0), cfg, levels)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
+                                 minval=0.02, maxval=0.9)
+        out_b = bg.brick_encode(table, pos, cfg, levels)
+        out_p = bg.paired_encode(table, pos, cfg, levels, groups)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_b),
+                                   atol=1e-6)
+
+    def test_pair_window_exact_on_linear_function(self):
+        """Within one fine brick, both members' interpolation must reproduce
+        an affine function of the cell coordinates exactly (the coarse
+        window-base math base_c = floor((4B-0.5)/r + 0.5) is what's under
+        test)."""
+        cfg = ngp.HashGridConfig(n_levels=2, n_features=2, base_resolution=64,
+                                 log2_hashmap_size=12, desired_resolution=96)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels)
+        assert groups.groups == ((0, 1),)
+        lv_c, lv_f = 0, 1
+        s_c, s_f = levels.scales[lv_c], levels.scales[lv_f]
+        r = s_f / s_c
+        B = np.array([5, 7, 9])
+        F = cfg.n_features
+        lin = [(0.3, -0.2, 0.11, 1.7), (-0.07, 0.5, 0.23, -0.4),
+               (0.9, 0.04, -0.31, 0.0), (0.13, -0.6, 0.05, 2.2)]
+
+        def g(coef, v):
+            a, b, c, d = coef
+            return a * v[..., 0] + b * v[..., 1] + c * v[..., 2] + d
+
+        base_c = np.floor((4 * B - 0.5) / r + 0.5)
+        rows = np.zeros((levels.n_bricks[lv_f], 2 * F * bg.ROW_VERTS),
+                        np.float32)
+        bid = int((np.uint32(B[0]) * np.uint32(bg.HASH_PRIMES[0])
+                   ^ np.uint32(B[1]) * np.uint32(bg.HASH_PRIMES[1])
+                   ^ np.uint32(B[2]) * np.uint32(bg.HASH_PRIMES[2]))
+                  & np.uint32(levels.n_bricks[lv_f] - 1))
+        for v in range(bg.BRICK_VERTS ** 3):
+            ijk = np.array([v // 25, (v // 5) % 5, v % 5])
+            for f in range(F):
+                # member 0 = coarse block, member 1 = fine block
+                rows[bid, 0 * F * 128 + f * 128 + v] = g(lin[f], base_c + ijk)
+                rows[bid, 1 * F * 128 + f * 128 + v] = g(lin[F + f],
+                                                         4 * B + ijk)
+        pos = ((4 * B - 0.45) / s_f
+               + np.random.default_rng(3).uniform(0, 3.8 / s_f, (64, 3)))
+        pos = jnp.asarray(pos, jnp.float32)
+        out = bg.paired_encode([jnp.asarray(rows)], pos, cfg, levels, groups)
+        x_c = np.asarray(pos) * s_c + 0.5
+        x_f = np.asarray(pos) * s_f + 0.5
+        for f in range(F):
+            np.testing.assert_allclose(np.asarray(out[:, lv_c * F + f]),
+                                       g(lin[f], x_c), rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(out[:, lv_f * F + f]),
+                                       g(lin[F + f], x_f), rtol=2e-4,
+                                       atol=2e-4)
+
+    def test_grads_flow_and_model_smoke(self):
+        cfg = ngp.HashGridConfig(n_levels=6, n_features=2,
+                                 log2_hashmap_size=12, desired_resolution=128)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels)
+        assert any(len(g) == 2 for g in groups.groups)
+        table = bg.init_paired_table(jax.random.PRNGKey(0), cfg, levels,
+                                     groups)
+        pos = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+        def loss(t):
+            return (bg.paired_encode(t, pos, cfg, levels, groups) ** 2).sum()
+
+        grads = jax.grad(loss)(table)
+        for gt in grads:
+            assert np.isfinite(np.asarray(gt)).all()
+        assert sum(float(jnp.abs(gt).sum()) for gt in grads) > 0
+
+        mcfg = ngp.NGPModelConfig(
+            grid=ngp.HashGridConfig(n_levels=6, log2_hashmap_size=12,
+                                    desired_resolution=128),
+            grid_impl="brick2")
+        model = ngp.NGPModel(mcfg)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.full((8, 3), 0.5), jnp.full((8, 3), 0.5))
+        assert out.shape == (8, 4)
+        assert np.isfinite(np.asarray(out)).all()

@@ -81,3 +81,41 @@ class TestNGPSpmd:
                                                         shard_table=True)
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 3
+
+
+class TestLevelTP:
+    """Whole-level table sharding (VERDICT r2 #4): gathers stay chip-local;
+    sharded gradients must match the replicated program bit-for-bit-ish."""
+
+    def test_level_tp_block_runs(self, devices):
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        state, metrics = spmd.multichip_ngp_train_block(
+            m, n_rays=256, n_steps=2, table_mode="levels")
+        assert np.isfinite(float(metrics["loss"]))
+        hashed = state.params["table"]["hashed"]
+        assert hashed.ndim == 3
+        # the stacked hashed-level axis is actually sharded over "model"
+        spec = hashed.sharding.spec
+        assert spec[0] == "model"
+
+    def test_level_tp_grad_parity_vs_replicated(self, devices):
+        """Identical seeds: a 4x2 level-sharded scan block must produce the
+        same post-Adam table/MLP params as the 8x1 (model=1, i.e. every
+        chip owns all levels) program — multi-step gradient parity under
+        table sharding."""
+        m_tp = mesh_lib.make_mesh(devices, data=4, model=2)
+        m_rep = mesh_lib.make_mesh(devices, data=8, model=1)
+        s_tp, met_tp = spmd.multichip_ngp_train_block(
+            m_tp, n_rays=256, n_steps=3, table_mode="levels", seed=0)
+        s_rep, met_rep = spmd.multichip_ngp_train_block(
+            m_rep, n_rays=256, n_steps=3, table_mode="levels", seed=0)
+        np.testing.assert_allclose(float(met_tp["loss"]),
+                                   float(met_rep["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s_tp.params["table"]["hashed"]),
+            np.asarray(s_rep.params["table"]["hashed"]), atol=1e-5)
+        leaves_tp = jax.tree_util.tree_leaves(s_tp.params["mlp"])
+        leaves_rep = jax.tree_util.tree_leaves(s_rep.params["mlp"])
+        for a, b in zip(leaves_tp, leaves_rep):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
