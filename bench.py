@@ -204,14 +204,26 @@ def _flagship_train_subprocess():
 def flagship_train_main():
     from myc_nerfs_tpu.models.ori_nerf import OriginNeRFConfig, OriginNeRFModel
 
+    # K=32 is the round-1/2 comparable; K=64 previously OOMed HBM on the
+    # 8x256 backward activations — jax.checkpoint (remat) on the backbone
+    # lifts that (VERDICT r2 #5), measured here as a separate field.
+    out = {}
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
-    # K=32 samples: the 8x256 MLP's backward activations at the adapted
-    # batch OOM HBM at K=64 (the wide-MLP field needs fewer samples than the
-    # grid field for the same quality; this matches the round-1 comparable)
     res = measure_ngp_train(model=flagship, steps_per_block=4, n_samples=32)
-    print(json.dumps({"train_rays_per_s": res["train_rays_per_s"],
-                      "iters_per_s": res["iters_per_s"],
-                      "rays_per_batch": res["rays_per_batch"]}))
+    out.update({"train_rays_per_s": res["train_rays_per_s"],
+                "iters_per_s": res["iters_per_s"],
+                "rays_per_batch": res["rays_per_batch"]})
+    try:
+        remat = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
+                                                 remat=True))
+        res64 = measure_ngp_train(model=remat, steps_per_block=4,
+                                  n_samples=64)
+        out.update({"train_rays_per_s_k64_remat": res64["train_rays_per_s"],
+                    "iters_per_s_k64_remat": res64["iters_per_s"],
+                    "rays_per_batch_k64": res64["rays_per_batch"]})
+    except Exception as e:  # OOM or compile failure: record, don't fake
+        out["k64_remat_error"] = str(e)[:200]
+    print(json.dumps(out))
 
 
 def main():
@@ -247,7 +259,9 @@ def main():
     try:
         gres = measure_garf_train()
     except Exception as e:
-        gres = {"rays_per_s": 0.0, "iters_per_s": 0.0,
+        # a broken path must not masquerade as a slow path (r2 review):
+        # rates become null in the JSON, the error string says why
+        gres = {"rays_per_s": None, "iters_per_s": None,
                 "error": str(e)[:200]}
 
     train_rate = res["train_rays_per_s"]
@@ -272,8 +286,17 @@ def main():
                 fres["train_rays_per_s"], 1),
             "flagship_mxu_train_vs_baseline": round(
                 fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3),
-            "garf_train_rays_per_s": round(gres["rays_per_s"], 1),
-            "garf_train_iters_per_s": round(gres["iters_per_s"], 2),
+            **({"flagship_mxu_train_k64_remat_rays_per_s": round(
+                    fres["train_rays_per_s_k64_remat"], 1)}
+               if "train_rays_per_s_k64_remat" in fres else {}),
+            **({"flagship_k64_remat_error": fres["k64_remat_error"]}
+               if "k64_remat_error" in fres else {}),
+            "garf_train_rays_per_s": (round(gres["rays_per_s"], 1)
+                                      if gres["rays_per_s"] is not None
+                                      else None),
+            "garf_train_iters_per_s": (round(gres["iters_per_s"], 2)
+                                       if gres["iters_per_s"] is not None
+                                       else None),
             **({"garf_train_error": gres["error"]} if "error" in gres else {}),
             "baseline": "0.54 Mrays/s train-side (133 it/s x 4096 rays), "
                         "instant-ngp on RTX 3090",

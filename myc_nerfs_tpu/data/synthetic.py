@@ -8,7 +8,7 @@ the SURVEY.md §4 test strategy (overfit-to-PSNR integration tests).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +55,52 @@ def analytic_field_textured(points: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
     return rgb, sigma
 
 
-def orbit_poses(n: int, radius: float = 3.0, elevation: float = 0.35) -> jnp.ndarray:
+def analytic_field_detail(points: jnp.ndarray,
+                          outer: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Detail-rich field for quality runs at reference scale (round-3):
+    an opaque sphere whose surface is displaced by multi-frequency
+    harmonics and painted with three texture octaves (up to ~180 cycles per
+    world unit), so a 256^2+ render has genuine high-frequency content and
+    the val PSNR is capacity-limited, not scene-limited. With ``outer``, a
+    textured torus at world radius ~1.9 adds content outside the unit AABB
+    (exercises aabb_scale>1 occupancy cascades, configs/Easyship.py:39-41).
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    r = jnp.linalg.norm(points, axis=-1)
+    theta = jnp.arctan2(y, x)
+    phi = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-6), -1.0, 1.0))
+    disp = (0.05 * jnp.sin(7.0 * theta) * jnp.sin(5.0 * phi + 1.3)
+            + 0.02 * jnp.sin(19.0 * theta + 2.1) * jnp.sin(13.0 * phi)
+            + 0.008 * jnp.sin(41.0 * theta) * jnp.sin(37.0 * phi + 0.7))
+    r_s = 0.48 + disp
+    sigma = 60.0 * jax.nn.sigmoid((r_s - r) * 150.0)
+    t1 = jnp.sin(23.0 * x + 31.0 * y) * jnp.sin(27.0 * z - 17.0 * x)
+    t2 = jnp.sin(71.0 * x - 53.0 * z + 1.0) * jnp.sin(61.0 * y + 0.5)
+    t3 = jnp.sin(181.0 * x + 167.0 * y + 149.0 * z)
+    red = jnp.clip(0.55 + 0.28 * t1 + 0.13 * t2 + 0.06 * t3, 0.0, 1.0)
+    grn = jnp.clip(0.45 + 0.24 * jnp.sin(2.0 * theta + 4.0 * phi)
+                   + 0.18 * t2 - 0.08 * t3, 0.0, 1.0)
+    blu = jnp.clip(0.50 - 0.22 * t1 + 0.20
+                   * jnp.sin(43.0 * y + 29.0 * z) * jnp.sin(37.0 * x),
+                   0.0, 1.0)
+    rgb = jnp.stack([red, grn, blu], axis=-1)
+    if outer:
+        dring = jnp.sqrt((jnp.sqrt(x ** 2 + y ** 2) - 1.9) ** 2
+                         + (z - 0.2) ** 2)
+        s_ring = 80.0 * jax.nn.sigmoid((0.16 - dring) * 120.0)
+        stripe = 0.5 + 0.5 * jnp.sin(17.0 * theta)
+        ring_rgb = jnp.stack([stripe, 1.0 - stripe,
+                              jnp.full_like(stripe, 0.85)], axis=-1)
+        w_ring = (s_ring / (sigma + s_ring + 1e-8))[..., None]
+        rgb = rgb * (1.0 - w_ring) + ring_rgb * w_ring
+        sigma = sigma + s_ring
+    return rgb, sigma
+
+
+def orbit_poses(n: int, radius: float = 3.0, elevation: float = 0.35,
+                phase: float = 0.0) -> jnp.ndarray:
     """n world->cam poses on a circular orbit looking at the origin."""
-    angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False) + phase
     poses = []
     for a in angles:
         cam = np.array([radius * np.cos(a), radius * np.sin(a), radius * np.sin(elevation)])
@@ -86,6 +129,46 @@ def render_analytic(pose: jnp.ndarray, intr: jnp.ndarray, H: int, W: int,
     rgb, _, _, _ = composite_nerf(ray, rgb_s, sigma_s, depth,
                                   bg_color=jnp.full((3,), bg_color))
     return rgb.reshape(H, W, 3)
+
+
+def make_detail_scene(n_views: int = 36, H: int = 256, W: int = 256,
+                      focal_factor: Optional[float] = None,
+                      outer: bool = False, n_samples: int = 512,
+                      chunk_rows: int = 32) -> SyntheticScene:
+    """Detail-rich scene at quality-run scale (>=256^2, >=30 views, three
+    elevation rings). GT images are volume-rendered in row strips to bound
+    memory. ``outer`` adds the out-of-AABB torus for cascade runs (wider
+    default FOV so the ring's far side enters the frustum)."""
+    if focal_factor is None:
+        focal_factor = 1.2 if outer else 2.0
+    depth_range = (1.0, 5.0) if outer else (1.5, 4.5)
+    rings = [0.1, 0.45, 0.8]
+    per = [n_views // 3 + (1 if i < n_views % 3 else 0) for i in range(3)]
+    # stagger ring azimuths so views don't line up vertically
+    poses = jnp.concatenate([orbit_poses(per[i], elevation=rings[i],
+                                         phase=i * 0.7)
+                             for i in range(3) if per[i] > 0])
+    f = focal_factor * W
+    intr = jnp.broadcast_to(
+        jnp.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]),
+        (n_views, 3, 3))
+    field = lambda p: analytic_field_detail(p, outer=outer)
+
+    def render_strip(pose, intr_i, row0):
+        # shifting the principal point renders rows [row0, row0+chunk)
+        intr_s = intr_i.at[1, 2].add(-row0)
+        return render_analytic(pose, intr_s, chunk_rows, W, depth_range,
+                               n_samples=n_samples, field=field)
+
+    render_strip = jax.jit(render_strip)
+    images = []
+    for i in range(n_views):
+        strips = [render_strip(poses[i], intr[i], jnp.asarray(float(r0)))
+                  for r0 in range(0, H, chunk_rows)]
+        images.append(jnp.concatenate(strips, axis=0))
+    images = jnp.stack(images)
+    return SyntheticScene(images=images, poses=poses, intr=intr, H=H, W=W,
+                          depth_range=depth_range)
 
 
 def make_scene(n_views: int = 6, H: int = 32, W: int = 32,

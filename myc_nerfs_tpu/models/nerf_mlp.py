@@ -77,10 +77,17 @@ class NeRFMLP(nn.Module):
     gaussian_sigma: float = 0.1
     density_activ: str = "softplus"  # "softplus" | "relu" | "abs" | "exp" | "sigmoid"
     tf_init: bool = True
+    # compute in bf16 on the MXU (params stay f32; outputs cast back) —
+    # the round-3 GARF throughput lever (VERDICT r2 #5). The heads stay
+    # numerically safe: sigmoid/softplus run after the f32 cast.
+    use_bf16: bool = False
 
     def _act(self, x):
         if self.activation == "gaussian":
-            return gaussian(x, sigma=self.gaussian_sigma)
+            # exp(-x^2/2s^2) with s=0.1 amplifies input error 100x — keep
+            # the activation itself in f32 even when matmuls run bf16 (the
+            # next Dense casts back down)
+            return gaussian(x.astype(jnp.float32), sigma=self.gaussian_sigma)
         return nn.relu(x)
 
     def _density_act(self, x):
@@ -93,15 +100,17 @@ class NeRFMLP(nn.Module):
         }[self.density_activ](x)
 
     def _dense(self, width: int, out: Optional[str] = None) -> nn.Dense:
+        dtype = jnp.bfloat16 if self.use_bf16 else None
         if not self.tf_init:
-            return nn.Dense(width)
+            return nn.Dense(width, dtype=dtype)
         if out == "first":
             kinit = _density_head_init
         elif out == "all":
             kinit = _xavier_uniform(1.0)
         else:
             kinit = _xavier_uniform(np.sqrt(2.0))
-        return nn.Dense(width, kernel_init=kinit, bias_init=nn.initializers.zeros)
+        return nn.Dense(width, kernel_init=kinit,
+                        bias_init=nn.initializers.zeros, dtype=dtype)
 
     def encode_points(self, points: jnp.ndarray, progress=None,
                       c2f: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
@@ -145,7 +154,7 @@ class NeRFMLP(nn.Module):
             feat = self._dense(width + 1 if last else width,
                                out="first" if last else None)(feat)
             if last:
-                density = feat[..., 0]
+                density = feat[..., 0].astype(jnp.float32)
                 if density_noise and noise_key is not None:
                     density = density + jax.random.normal(noise_key, density.shape) * density_noise
                 density = self._density_act(density)
@@ -161,7 +170,7 @@ class NeRFMLP(nn.Module):
             feat = self._dense(width, out="all" if last else None)(feat)
             if not last:
                 feat = self._act(feat)
-        rgb = jax.nn.sigmoid(feat)
+        rgb = jax.nn.sigmoid(feat.astype(jnp.float32))
         return rgb, density
 
     def density_only(self, params, points: jnp.ndarray) -> jnp.ndarray:

@@ -220,12 +220,13 @@ class NGPModel:
                 table, pos, cfg.grid, self.levels, compute_dtype=enc_dtype)
             self._init_table = lambda key: bg.init_brick_table(
                 key, cfg.grid, self.levels)
-        elif cfg.grid_impl == "brick2":
+        elif cfg.grid_impl in ("brick2", "brick3"):
             from ..ops import brick_grid as bg
 
             self._bg = bg
             self.levels = bg.compute_brick_levels(cfg.grid)
-            self.groups = bg.compute_level_groups(self.levels)
+            self.groups = bg.compute_level_groups(
+                self.levels, group_size=3 if cfg.grid_impl == "brick3" else 2)
             enc_dtype = jnp.bfloat16 if cfg.use_bf16 else None
             self._encode = lambda table, pos: bg.paired_encode(
                 table, pos, cfg.grid, self.levels, self.groups,

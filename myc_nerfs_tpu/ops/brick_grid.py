@@ -190,21 +190,30 @@ class LevelGroups:
 
 
 def compute_level_groups(levels: BrickLevels,
-                         min_ratio: float = 4.0 / 3.0) -> LevelGroups:
-    """Pair consecutive hashed levels from the fine end; dense levels and
-    any leftover/ratio-violating hashed level stay single."""
+                         min_ratio: float = 4.0 / 3.0,
+                         group_size: int = 2) -> LevelGroups:
+    """Group up to ``group_size`` consecutive hashed levels from the fine
+    end; dense levels and any ratio-violating hashed level stay single.
+
+    Every member's window fits 5 verts/axis as long as each ADJACENT scale
+    ratio is >= min_ratio (a farther member has a larger key/member ratio,
+    which only shrinks its window). probe_r3b measured the scatter/gather
+    bandwidth sweet spot at 768-float rows -> group_size=3 ('brick3').
+    """
     hashed = [lv for lv in range(levels.n_levels) if not levels.dense[lv]]
     groups = [(lv,) for lv in range(levels.n_levels) if levels.dense[lv]]
     i = len(hashed) - 1
     while i >= 0:
-        if i >= 1:
-            c, f = hashed[i - 1], hashed[i]
-            if f == c + 1 and levels.scales[f] / levels.scales[c] >= min_ratio:
-                groups.append((c, f))
-                i -= 2
-                continue
-        groups.append((hashed[i],))
-        i -= 1
+        members = [hashed[i]]
+        j = i - 1
+        while (j >= 0 and len(members) < group_size
+               and hashed[j] == members[-1] - 1
+               and (levels.scales[members[-1]] / levels.scales[hashed[j]])
+               >= min_ratio):
+            members.append(hashed[j])
+            j -= 1
+        groups.append(tuple(reversed(members)))
+        i = j
     groups.sort()
     return LevelGroups(groups=tuple(groups))
 

@@ -70,6 +70,9 @@ class NeRFTrainConfig:
     lr_pose_end: float = 1e-5
     warmup_pose: int = 0
     max_iter: int = 200000
+    # bf16 matmuls in the field MLP (params f32, gaussian/act heads f32) —
+    # round-3 GARF throughput lever, quality-gated by scripts/garf_bf16.py
+    use_bf16: bool = False
 
 
 class NeRFTrainState(NamedTuple):
@@ -84,11 +87,13 @@ class NeRFTrainState(NamedTuple):
 def build_model(cfg: NeRFTrainConfig) -> NeRFMLP:
     if cfg.model == "garf":
         return garf_mlp(widths_feat=cfg.widths_feat, widths_rgb=cfg.widths_rgb,
-                        skip=cfg.skip, view_dep=cfg.view_dep)
+                        skip=cfg.skip, view_dep=cfg.view_dep,
+                        use_bf16=cfg.use_bf16)
     return NeRFMLP(
         widths_feat=cfg.widths_feat, widths_rgb=cfg.widths_rgb, skip=cfg.skip,
         posenc_L3D=cfg.posenc_L3D, posenc_Lview=cfg.posenc_Lview,
-        view_dep=cfg.view_dep, density_activ=cfg.density_activ)
+        view_dep=cfg.view_dep, density_activ=cfg.density_activ,
+        use_bf16=cfg.use_bf16)
 
 
 def _exp_schedule(lr: float, lr_end: float, max_iter: int):

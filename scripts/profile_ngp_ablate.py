@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+GRID_IMPL = sys.argv[1] if len(sys.argv) > 1 else "brick"
+
 from myc_nerfs_tpu.models.ngp import (HashGridConfig, NGPModel, NGPModelConfig,
                                       NGPNetwork)
 from myc_nerfs_tpu.ops.sh import sh_encode
@@ -100,7 +102,7 @@ class NoEncodeModel(NGPModel):
 def time_block(model=None, label="full"):
     occ_cfg, st = ball_state()
     mcfg = NGPModelConfig(grid=HashGridConfig(), use_bf16=True,
-                          grid_impl="brick")
+                          grid_impl=GRID_IMPL)
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=64)
     tcfg = NGPTrainConfig(n_rays_per_batch=RAYS, update_den_freq=S)
     trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0), model=model)
@@ -124,7 +126,9 @@ def time_block(model=None, label="full"):
     return per_step
 
 
-mcfg = NGPModelConfig(grid=HashGridConfig(), use_bf16=True, grid_impl="brick")
+mcfg = NGPModelConfig(grid=HashGridConfig(), use_bf16=True,
+                      grid_impl=GRID_IMPL)
+emit("config", grid_impl=GRID_IMPL)
 full = time_block(None, "full_fused")
 nograd = time_block(StopGradTableModel(mcfg), "no_table_grad")
 noenc = time_block(NoEncodeModel(mcfg), "no_encode")

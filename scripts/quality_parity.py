@@ -80,5 +80,7 @@ if __name__ == "__main__":
         run("brick_fused (shipped)", "brick", True)
     if which in ("both", "brick2"):
         run("brick2_paired_fused", "brick2", True)
+    if which in ("both", "brick3"):
+        run("brick3_tripled_fused", "brick3", True)
     if which in ("both", "hash"):
         run("hash_reference_shape", "hash", False)

@@ -1,0 +1,163 @@
+"""Round-3 quality runs at reference scale (VERDICT r2 #3).
+
+Trains the full L16F2 (2^19 params/level) NGP pipeline on the detail-rich
+procedural scene (256^2, 36 views, three elevation rings, high-frequency
+texture — data/synthetic.make_detail_scene) and reports val PSNR on three
+held-out views. Variants:
+
+  --variant brick    shipped brick tables + fused march
+  --variant brick2   paired-level brick tables + fused march (round-3)
+  --variant hash     reference-shaped vertex hash + bitfield march +
+                     detached-network compaction (slow; the parity anchor)
+
+  --scene outer --aabb_scale 4   cascaded occupancy run: content outside
+                                 the unit AABB (the torus), 5 cascades like
+                                 Car/Easyship (configs/Easyship.py:39-41)
+
+Prints one JSON line: {variant, steps, train_psnr, val_psnr, wall_s}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myc_nerfs_tpu.data.synthetic import make_detail_scene
+from myc_nerfs_tpu.geom import rays as rays_lib
+from myc_nerfs_tpu.models import ngp
+from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+from myc_nerfs_tpu.train.ngp_trainer import NGPTrainConfig, NGPTrainer
+from myc_nerfs_tpu.utils.metrics import psnr
+
+SCALE, OFF = 0.33, 0.5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="brick2",
+                    choices=["brick", "brick2", "hash"])
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--scene", default="detail", choices=["detail", "outer"])
+    ap.add_argument("--aabb_scale", type=int, default=1)
+    ap.add_argument("--views", type=int, default=36)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--val_every", type=int, default=0,
+                    help="if >0, log val PSNR of view 0 at this cadence")
+    ap.add_argument("--dump", default="",
+                    help="dir for val PNG dumps (optional)")
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint path for kill-and-resume runs")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    t_scene = time.perf_counter()
+    scene = make_detail_scene(n_views=args.views, H=args.size, W=args.size,
+                              outer=(args.scene == "outer"))
+    H = W = args.size
+    val_ids = [0, args.views // 3, 2 * args.views // 3]
+    train_ids = [i for i in range(args.views) if i not in val_ids]
+    idx = jnp.asarray(train_ids)
+    c, r = rays_lib.get_center_and_ray(scene.poses[idx], scene.intr[idx],
+                                       H, W)
+    d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    tr_o = np.asarray((c * SCALE + OFF).reshape(-1, 3))
+    tr_d = np.asarray(d.reshape(-1, 3))
+    tr_rgb = np.asarray(scene.images[idx].reshape(-1, 3))
+    print(json.dumps({"event": "scene_ready",
+                      "wall_s": round(time.perf_counter() - t_scene, 1),
+                      "train_rays": int(tr_o.shape[0])}), flush=True)
+
+    grid_impl = {"hash": "hash"}.get(args.variant, args.variant)
+    fused = args.variant != "hash"
+    mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(), use_bf16=True,
+                              grid_impl=grid_impl)
+    rcfg = NGPRenderConfig(
+        aabb_scale=args.aabb_scale, n_coarse=128, n_samples=64, n_compact=32,
+        near_distance=0.05, fused_march=fused,
+        compact_source="grid" if fused else "network")
+    tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=args.batch,
+                          target_batch_size=1 << 18,
+                          n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
+                          decay_start=20000, update_den_freq=16,
+                          tot_train_steps=args.steps)
+    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+
+    start_step = 0
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        from myc_nerfs_tpu.core.checkpoint import restore_checkpoint
+
+        trainer.state, meta = restore_checkpoint(args.ckpt, trainer.state)
+        start_step = int(meta.get("step", 0))
+        print(json.dumps({"event": "resumed", "step": start_step}),
+              flush=True)
+
+    def val_psnr(n_views_val=3):
+        ps = []
+        for vi in val_ids[:n_views_val]:
+            pose = scene.poses[vi]
+            R, t = pose[:, :3], pose[:, 3]
+            c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], 1)
+            img, _ = trainer.render_image(c2w, scene.intr[vi], H, W,
+                                          chunk=8192)
+            ps.append(float(psnr(jnp.clip(img, 0, 1), scene.images[vi])))
+            if args.dump:
+                from PIL import Image
+
+                os.makedirs(args.dump, exist_ok=True)
+                arr = np.asarray(jnp.clip(img, 0, 1))
+                Image.fromarray((arr * 255).astype(np.uint8)).save(
+                    os.path.join(args.dump,
+                                 f"{args.variant}_v{vi}.png"))
+        return ps
+
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    S = tcfg.update_den_freq
+    t0 = time.perf_counter()
+    it = start_step
+    m = {"psnr": jnp.asarray(0.0)}
+    while it < args.steps:
+        key, k1, k2 = jax.random.split(key, 3)
+        trainer.state = trainer.state._replace(occ=trainer.grid_update(
+            trainer.state.occ, trainer.state.params, k1))
+        ids = rng.integers(0, tr_o.shape[0], (S, args.batch))
+        m = trainer.train_block(tr_o[ids], tr_d[ids], tr_rgb[ids], k2)
+        it += S
+        if args.val_every and it % args.val_every < S:
+            p0 = val_psnr(1)[0]
+            print(json.dumps({"event": "val", "step": it,
+                              "train_psnr": round(float(m["psnr"]), 2),
+                              "val_psnr": round(p0, 2),
+                              "wall_s": round(time.perf_counter() - t0, 1)}),
+                  flush=True)
+        if args.ckpt and it % 2048 < S:
+            from myc_nerfs_tpu.core.checkpoint import save_checkpoint
+
+            save_checkpoint(args.ckpt, trainer.state, step=it)
+    wall = time.perf_counter() - t0
+
+    ps = val_psnr()
+    if args.ckpt:
+        from myc_nerfs_tpu.core.checkpoint import save_checkpoint
+
+        save_checkpoint(args.ckpt, trainer.state, step=it)
+    print(json.dumps({
+        "variant": args.variant, "scene": args.scene,
+        "aabb_scale": args.aabb_scale, "steps": it,
+        "train_psnr": round(float(m["psnr"]), 2),
+        "val_psnr": round(float(np.mean(ps)), 2),
+        "val_psnrs": [round(p, 2) for p in ps],
+        "wall_s": round(wall, 1),
+        "krays_s": round(args.batch * (it - start_step) / max(wall, 1e-9)
+                         / 1e3, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -223,3 +223,33 @@ class TestNativeRayStore:
             o, d = rays_lib.get_rays_from_directions(dirs, jnp.asarray(c2w[i]))
             ref.append(np.concatenate([np.asarray(o), np.asarray(d)], -1))
         np.testing.assert_allclose(out, np.concatenate(ref), atol=1e-5)
+
+
+class TestOriginNeRFRemat:
+    def test_remat_grads_match(self):
+        """jax.checkpoint on the flagship backbone (OriginNeRFConfig.remat)
+        must not change values or gradients — only memory behavior."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
+                                                   OriginNeRFModel)
+
+        m0 = OriginNeRFModel(OriginNeRFConfig(D=2, W=32, skips=()))
+        m1 = OriginNeRFModel(OriginNeRFConfig(D=2, W=32, skips=(), remat=True))
+        params = m0.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        d = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+        def loss(m):
+            return lambda p: (m.apply(p, x, d) ** 2).sum()
+
+        np.testing.assert_allclose(np.asarray(m0.apply(params, x, d)),
+                                   np.asarray(m1.apply(params, x, d)),
+                                   atol=1e-6)
+        g0 = jax.grad(loss(m0))(params)
+        g1 = jax.grad(loss(m1))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)

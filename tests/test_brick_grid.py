@@ -272,3 +272,71 @@ class TestPairedBricks:
         out = model.apply(params, jnp.full((8, 3), 0.5), jnp.full((8, 3), 0.5))
         assert out.shape == (8, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTripleBricks:
+    """group_size=3 ('brick3'): three levels per row, 768-float rows — the
+    probe_r3b bandwidth sweet spot."""
+
+    def test_triple_budget_parity_L16(self):
+        cfg = ngp.HashGridConfig(n_levels=16, n_features=2,
+                                 log2_hashmap_size=19)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels, group_size=3)
+        flat = sorted(lv for g in groups.groups for lv in g)
+        assert flat == list(range(16))
+        assert any(len(g) == 3 for g in groups.groups)
+        t1 = bg.init_brick_table(jax.random.PRNGKey(0), cfg, levels)
+        t3 = bg.init_paired_table(jax.random.PRNGKey(0), cfg, levels, groups)
+        assert sum(t.size for t in t1) == sum(t.size for t in t3)
+
+    def test_triple_window_exact_on_linear_function(self):
+        cfg = ngp.HashGridConfig(n_levels=3, n_features=1, base_resolution=64,
+                                 log2_hashmap_size=12,
+                                 desired_resolution=128)
+        levels = bg.compute_brick_levels(cfg)
+        groups = bg.compute_level_groups(levels, group_size=3)
+        assert groups.groups == ((0, 1, 2),)
+        key_lv = 2
+        s = levels.scales
+        B = np.array([7, 11, 3])
+        lin = [(0.3, -0.2, 0.11, 1.7), (-0.07, 0.5, 0.23, -0.4),
+               (0.9, 0.04, -0.31, 0.2)]
+
+        def g(coef, v):
+            a, b, c, d = coef
+            return a * v[..., 0] + b * v[..., 1] + c * v[..., 2] + d
+
+        rows = np.zeros((levels.n_bricks[key_lv], 3 * bg.ROW_VERTS),
+                        np.float32)
+        bid = int((np.uint32(B[0]) * np.uint32(bg.HASH_PRIMES[0])
+                   ^ np.uint32(B[1]) * np.uint32(bg.HASH_PRIMES[1])
+                   ^ np.uint32(B[2]) * np.uint32(bg.HASH_PRIMES[2]))
+                  & np.uint32(levels.n_bricks[key_lv] - 1))
+        for j, lv in enumerate((0, 1, 2)):
+            r = s[key_lv] / s[lv]
+            base = (4 * B if lv == key_lv
+                    else np.floor((4 * B - 0.5) / r + 0.5))
+            for v in range(bg.BRICK_VERTS ** 3):
+                ijk = np.array([v // 25, (v // 5) % 5, v % 5])
+                rows[bid, j * 128 + v] = g(lin[j], base + ijk)
+        pos = ((4 * B - 0.45) / s[key_lv]
+               + np.random.default_rng(5).uniform(0, 3.8 / s[key_lv],
+                                                  (64, 3)))
+        pos = jnp.asarray(pos, jnp.float32)
+        out = bg.paired_encode([jnp.asarray(rows)], pos, cfg, levels, groups)
+        for lv in range(3):
+            x = np.asarray(pos) * s[lv] + 0.5
+            np.testing.assert_allclose(np.asarray(out[:, lv]), g(lin[lv], x),
+                                       rtol=3e-4, atol=3e-4)
+
+    def test_brick3_model_smoke(self):
+        mcfg = ngp.NGPModelConfig(
+            grid=ngp.HashGridConfig(n_levels=6, log2_hashmap_size=12,
+                                    desired_resolution=128),
+            grid_impl="brick3")
+        model = ngp.NGPModel(mcfg)
+        params = model.init(jax.random.PRNGKey(0))
+        out = model.apply(params, jnp.full((8, 3), 0.5), jnp.full((8, 3), 0.5))
+        assert out.shape == (8, 4)
+        assert np.isfinite(np.asarray(out)).all()

@@ -509,3 +509,83 @@ class TestFusedMarch:
             density_apply=model.density_raw)
         np.testing.assert_allclose(np.asarray(net_fuseddefault.rgb),
                                    np.asarray(net_explicit.rgb), atol=1e-6)
+
+
+class TestKillAndResume:
+    """NGP kill-and-resume mid-schedule (VERDICT r2 #3c): restoring the
+    full state (params + Adam moments + EMA + occupancy grid + step) and
+    feeding identical batches must reproduce the uninterrupted run
+    exactly. Reference semantics: runner.py:127-155 restores model,
+    sampler grids, nested Adam m/v and EMA shadows."""
+
+    def _mk_trainer(self):
+        from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+        from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig,
+                                                     NGPTrainer)
+
+        mcfg = NGPModelConfig(grid=HashGridConfig(
+            n_levels=4, log2_hashmap_size=12, desired_resolution=64.0))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8,
+                               n_compact=4)
+        tcfg = NGPTrainConfig(n_rays_per_batch=128, target_batch_size=1 << 10,
+                              n_grid_uniform=1 << 10, n_grid_nonuniform=0,
+                              update_den_freq=4, decay_start=8,
+                              decay_interval=8)
+        return NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+
+    def _batches(self, n_blocks, S=4, n=128):
+        key = jax.random.PRNGKey(9)
+        out = []
+        for b in range(n_blocks):
+            k = jax.random.fold_in(key, b)
+            theta = jax.random.uniform(k, (S * n,)) * 6.28318
+            o = jnp.stack([0.5 + 1.4 * jnp.cos(theta),
+                           0.5 + 1.4 * jnp.sin(theta),
+                           jnp.full((S * n,), 0.5)], -1)
+            d = (0.5 - o)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            tgt = jax.random.uniform(jax.random.fold_in(k, 1), (S, n, 3))
+            out.append((o.reshape(S, n, 3), d.reshape(S, n, 3), tgt))
+        return out
+
+    def _run(self, trainer, batches, start_block):
+        for b, (o, d, tgt) in enumerate(batches):
+            kb = jax.random.fold_in(jax.random.PRNGKey(77),
+                                    start_block + b)
+            trainer.state = trainer.state._replace(
+                occ=trainer.grid_update(trainer.state.occ,
+                                        trainer.state.params, kb))
+            trainer.train_block(o, d, tgt, jax.random.fold_in(kb, 1))
+        return trainer
+
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        from myc_nerfs_tpu.core.checkpoint import (restore_checkpoint,
+                                                   save_checkpoint)
+
+        batches = self._batches(4)
+        # uninterrupted: 4 blocks (16 steps, crosses the decay_start=8
+        # LR-schedule boundary mid-way)
+        tA = self._run(self._mk_trainer(), batches, 0)
+
+        # killed after 2 blocks, checkpointed, restored into a FRESH trainer
+        tB = self._run(self._mk_trainer(), batches[:2], 0)
+        ck = str(tmp_path / "model.ckpt")
+        save_checkpoint(ck, tB.state, step=int(tB.state.step))
+        tC = self._mk_trainer()  # fresh init (different params until restore)
+        tC.state, meta = restore_checkpoint(ck, tC.state)
+        assert int(meta["step"]) == 8
+        tC = self._run(tC, batches[2:], 2)
+
+        assert int(tA.state.step) == int(tC.state.step) == 16
+        for a, c in zip(jax.tree_util.tree_leaves(tA.state.params),
+                        jax.tree_util.tree_leaves(tC.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-6)
+        for a, c in zip(jax.tree_util.tree_leaves(tA.state.ema_params),
+                        jax.tree_util.tree_leaves(tC.state.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tA.state.occ.density_grid),
+            np.asarray(tC.state.occ.density_grid), atol=1e-6)
