@@ -7,6 +7,7 @@ held-out views. Variants:
 
   --variant brick    shipped brick tables + fused march
   --variant brick2   paired-level brick tables + fused march (round-3)
+  --variant brick3   triple-level brick tables + fused march (round-3)
   --variant hash     reference-shaped vertex hash + bitfield march +
                      detached-network compaction (slow; the parity anchor)
 
@@ -41,7 +42,7 @@ SCALE, OFF = 0.33, 0.5
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="brick2",
-                    choices=["brick", "brick2", "hash"])
+                    choices=["brick", "brick2", "brick3", "hash"])
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--scene", default="detail", choices=["detail", "outer"])
     ap.add_argument("--aabb_scale", type=int, default=1)
@@ -55,11 +56,31 @@ def main():
     ap.add_argument("--ckpt", default="",
                     help="checkpoint path for kill-and-resume runs")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (smoke tests; overrides the axon pin)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     t_scene = time.perf_counter()
-    scene = make_detail_scene(n_views=args.views, H=args.size, W=args.size,
-                              outer=(args.scene == "outer"))
+    cache = f"/tmp/detail_scene_{args.scene}_{args.views}_{args.size}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from myc_nerfs_tpu.data.synthetic import SyntheticScene
+
+        scene = SyntheticScene(images=jnp.asarray(z["images"]),
+                               poses=jnp.asarray(z["poses"]),
+                               intr=jnp.asarray(z["intr"]),
+                               H=args.size, W=args.size,
+                               depth_range=tuple(z["depth_range"]))
+    else:
+        scene = make_detail_scene(n_views=args.views, H=args.size,
+                                  W=args.size,
+                                  outer=(args.scene == "outer"))
+        np.savez(cache, images=np.asarray(scene.images),
+                 poses=np.asarray(scene.poses),
+                 intr=np.asarray(scene.intr),
+                 depth_range=np.asarray(scene.depth_range))
     H = W = args.size
     val_ids = [0, args.views // 3, 2 * args.views // 3]
     train_ids = [i for i in range(args.views) if i not in val_ids]
@@ -76,8 +97,11 @@ def main():
 
     grid_impl = {"hash": "hash"}.get(args.variant, args.variant)
     fused = args.variant != "hash"
-    mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(), use_bf16=True,
-                              grid_impl=grid_impl)
+    # reference level derivation: desired resolution scales with aabb_scale
+    # (grid_encode.py:18-35 via configs' aabb_scale)
+    mcfg = ngp.NGPModelConfig(
+        grid=ngp.HashGridConfig(aabb_scale=args.aabb_scale),
+        use_bf16=True, grid_impl=grid_impl)
     rcfg = NGPRenderConfig(
         aabb_scale=args.aabb_scale, n_coarse=128, n_samples=64, n_compact=32,
         near_distance=0.05, fused_march=fused,
