@@ -90,7 +90,7 @@ def measure_render(render_fn, params, rays_o, rays_d):
     return n / (time.perf_counter() - t0)
 
 
-def measure_ngp_train(grid_impl="brick", model=None, steps_per_block=16,
+def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
                       n_samples=64):
     """Full training pipeline throughput at reference config."""
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
@@ -231,7 +231,7 @@ def main():
     from myc_nerfs_tpu.models.ori_nerf import OriginNeRFConfig, OriginNeRFModel
     from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, render_rays_ngp
 
-    res = measure_ngp_train("brick")
+    res = measure_ngp_train("brick3")
     occ_cfg, occ_state = res["occ"]
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=32)
     rays_o, rays_d = make_rays(RENDER_RAYS)
@@ -239,7 +239,7 @@ def main():
 
     # NGP hash render (reference L16F2 config, brick layout)
     ngp = NGPModel(NGPModelConfig(grid=HashGridConfig(), use_bf16=True,
-                                  grid_impl="brick"))
+                                  grid_impl="brick3"))
     nparams = ngp.init(jax.random.PRNGKey(0))
     nrender = jax.jit(lambda p, o, d: render_rays_ngp(
         occ_cfg, rcfg, ngp.apply, p, occ_state, o, d, bg).rgb)
@@ -271,7 +271,7 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(train_rate / BASELINE_TRAIN_RAYS_PER_S, 3),
         "detail": {
-            "headline": "Instant-NGP L16F2 (brick-packed) full train step: "
+            "headline": "Instant-NGP L16F2 (level-tripled brick) full train step: "
                         "march+encode+MLP+composite+Huber+Adam+EMA+grid "
                         "updates, ray batch adapted to 2^18 samples",
             "iters_per_s": round(res["iters_per_s"], 2),

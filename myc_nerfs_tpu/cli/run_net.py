@@ -40,7 +40,7 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
     mcfg = build_from_cfg(dict(cfg.get("model", {"type": "NGPNetworks"})),
                           NETWORKS, grid=grid,
                           use_bf16=cfg.get("fp16", False),
-                          grid_impl=cfg.get("grid_impl", "brick"))
+                          grid_impl=cfg.get("grid_impl", "brick3"))
     rcfg = NGPRenderConfig(
         aabb_scale=aabb_scale,
         n_coarse=cfg.get("n_coarse", 512),

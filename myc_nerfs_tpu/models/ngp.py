@@ -188,12 +188,13 @@ class NGPNetwork(nn.Module):
 class NGPModelConfig:
     """Bundle: hash grid + SH dirs + MLPs (config parity: configs/*.py).
 
-    ``grid_impl``: 'brick' (default) is the TPU-fast brick-packed layout
-    (ops/brick_grid.py — one wide-row gather per sample per level);
-    'brick2' pairs adjacent hashed levels into double-width rows (one
-    gather/scatter per PAIR — round-3 row-issue-rate lever, quality-gated);
-    'hash' is the exact vertex-level reference layout (pure-XLA gathers,
-    kept for parity tests and cross-checks).
+    ``grid_impl``: 'brick3' (default) packs up to three adjacent hashed
+    levels into one 768-float row — the measured scatter/gather bandwidth
+    knee (PERF_NOTES §7) — quality-verified against per-level bricks and
+    the vertex hash at 256^2 reference scale (§8); 'brick2' pairs levels;
+    'brick' is the round-2 per-level brick layout; 'hash' is the exact
+    vertex-level reference layout (pure-XLA gathers, kept for parity tests
+    and cross-checks).
     """
 
     grid: HashGridConfig = HashGridConfig()
@@ -201,7 +202,7 @@ class NGPModelConfig:
     density_n_neurons: int = 64
     rgb_n_neurons: int = 64
     use_bf16: bool = False
-    grid_impl: str = "brick"
+    grid_impl: str = "brick3"
 
 
 class NGPModel:
