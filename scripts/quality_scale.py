@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (smoke tests; overrides the axon pin)")
+    ap.add_argument("--no_scan", action="store_true",
+                    help="single-step dispatches instead of the 16-step "
+                         "lax.scan block (16x smaller program — fallback "
+                         "when the remote compiler chokes on the big "
+                         "vertex-hash scan body)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -152,7 +157,16 @@ def main():
         trainer.state = trainer.state._replace(occ=trainer.grid_update(
             trainer.state.occ, trainer.state.params, k1))
         ids = rng.integers(0, tr_o.shape[0], (S, args.batch))
-        m = trainer.train_block(tr_o[ids], tr_d[ids], tr_rgb[ids], k2)
+        if args.no_scan:
+            for s_i in range(S):
+                k2, ks = jax.random.split(k2)
+                trainer.state, m = trainer._step_fn(
+                    trainer.state, jnp.asarray(tr_o[ids[s_i]]),
+                    jnp.asarray(tr_d[ids[s_i]]),
+                    jnp.asarray(tr_rgb[ids[s_i]]),
+                    jnp.asarray(tcfg.background_color), ks)
+        else:
+            m = trainer.train_block(tr_o[ids], tr_d[ids], tr_rgb[ids], k2)
         it += S
         if args.val_every and it % args.val_every < S:
             p0 = val_psnr(1)[0]
