@@ -196,9 +196,12 @@ def _flagship_train_subprocess():
         for line in out.stdout.strip().splitlines()[::-1]:
             if line.startswith("{"):
                 return json.loads(line)
-    except Exception:
-        pass
-    return {"train_rays_per_s": 0.0, "iters_per_s": 0.0, "rays_per_batch": 0}
+        err = (out.stderr or "no json line from flagship subprocess")[-200:]
+    except Exception as e:
+        err = str(e)[:200]
+    # a broken path must not masquerade as a slow path: rates become null
+    return {"train_rays_per_s": None, "iters_per_s": None,
+            "rays_per_batch": None, "error": err}
 
 
 def flagship_train_main():
@@ -282,10 +285,14 @@ def main():
             "flagship_mxu_render_rays_per_s": round(flagship_render_rate, 1),
             "flagship_mxu_render_vs_baseline": round(
                 flagship_render_rate / BASELINE_TRAIN_RAYS_PER_S, 3),
-            "flagship_mxu_train_rays_per_s": round(
-                fres["train_rays_per_s"], 1),
-            "flagship_mxu_train_vs_baseline": round(
-                fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3),
+            "flagship_mxu_train_rays_per_s": (
+                round(fres["train_rays_per_s"], 1)
+                if fres.get("train_rays_per_s") is not None else None),
+            "flagship_mxu_train_vs_baseline": (
+                round(fres["train_rays_per_s"] / BASELINE_TRAIN_RAYS_PER_S, 3)
+                if fres.get("train_rays_per_s") is not None else None),
+            **({"flagship_train_error": fres["error"]}
+               if "error" in fres else {}),
             **({"flagship_mxu_train_k64_remat_rays_per_s": round(
                     fres["train_rays_per_s_k64_remat"], 1)}
                if "train_rays_per_s_k64_remat" in fres else {}),
