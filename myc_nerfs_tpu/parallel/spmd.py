@@ -78,7 +78,13 @@ class LevelTPModel(NGPModel):
     """
 
     def __init__(self, cfg: NGPModelConfig, mesh):
-        assert cfg.grid_impl == "brick", "level TP is defined for 'brick'"
+        # TP shards WHOLE levels, so the layout must be per-level tables
+        # ('brick'). The level-tripled 'brick3' rows (PERF_NOTES §7) are a
+        # single-chip HBM-scatter optimization whose triples straddle the
+        # level shard boundary; under TP each chip's local levels use the
+        # per-level layout instead.
+        if cfg.grid_impl != "brick":
+            cfg = dataclasses.replace(cfg, grid_impl="brick")
         super().__init__(cfg)
         from ..ops import brick_grid as bg
 
