@@ -46,7 +46,7 @@ def build_freq_encoder(multires: int = 10, **_ignored) -> dict:
 @NETWORKS.register_module("NGPNetworks")
 def build_ngp_networks(grid: Optional[HashGridConfig] = None,
                        use_fully: bool = True, use_bf16: bool = False,
-                       grid_impl: str = "brick",
+                       grid_impl: str = "brick3",
                        density_n_neurons: int = 64, rgb_n_neurons: int = 64,
                        **_ignored) -> NGPModelConfig:
     """NGPNetworks (ngp_network.py:41-96). ``use_fully`` has no TPU analog
