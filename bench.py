@@ -198,6 +198,15 @@ def _flagship_train_subprocess():
                 return json.loads(line)
         err = (out.stderr or "no json line from flagship subprocess")[-200:]
     except Exception as e:
+        # on timeout the K=32 line may already be on the captured stdout
+        partial = getattr(e, "stdout", None) or ""
+        if isinstance(partial, bytes):
+            partial = partial.decode("utf-8", "replace")
+        for line in partial.strip().splitlines()[::-1]:
+            if line.startswith("{"):
+                res = json.loads(line)
+                res["k64_remat_error"] = str(e)[:200]
+                return res
         err = str(e)[:200]
     # a broken path must not masquerade as a slow path: rates become null
     return {"train_rays_per_s": None, "iters_per_s": None,
@@ -216,6 +225,10 @@ def flagship_train_main():
     out.update({"train_rays_per_s": res["train_rays_per_s"],
                 "iters_per_s": res["iters_per_s"],
                 "rays_per_batch": res["rays_per_batch"]})
+    # emit the K=32 comparable immediately: if the K=64 remat attempt kills
+    # the process (TPU worker crash / parent timeout), the parent's
+    # last-JSON-line scan still recovers this result
+    print(json.dumps(out), flush=True)
     try:
         remat = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
                                                  remat=True))

@@ -93,6 +93,7 @@ def load_data(cfg):
             n_images = scene.images.shape[0]
             n_pixels = H * W
             images = np.asarray(scene.images)
+            focal = float(scene.intr[0, 0, 0])  # make_scene: 1.2 * W
 
             def __init__(self):
                 self._o = np.asarray(o.reshape(scene.images.shape[0], -1, 3))
@@ -152,7 +153,17 @@ def main(argv: Optional[list] = None):
 
     ckpt = os.path.join(out_dir, "model.ckpt")
     if cfg.get("load_ckpt") and latest_checkpoint(out_dir):
-        trainer.state, meta = restore_checkpoint(ckpt, trainer.state)
+        try:
+            trainer.state, meta = restore_checkpoint(ckpt, trainer.state)
+        except (ValueError, KeyError, TypeError) as e:
+            # the usual cause: the checkpoint was trained under a different
+            # hash-grid layout than this build's default (grid_impl switched
+            # from 'brick' to 'brick3' in round 3); table counts/shapes then
+            # disagree and flax restore fails structurally
+            raise SystemExit(
+                f"checkpoint restore failed ({e}); if this run predates the "
+                "brick3 default, set grid_impl='brick' in the config to "
+                "match the checkpoint's table layout") from e
         log.info(f"resumed @ {meta.get('step')}")
 
     if args.task == "train":
@@ -240,13 +251,19 @@ def main(argv: Optional[list] = None):
         from ..evaluation.visualization import write_video
 
         # Runner.render uses the dataset's camera intrinsics along the
-        # spherical path (runner.py:105-125), not a synthetic focal.
-        try:
-            _, _, ev_intrs = load_eval_views(cfg, data, H, W)
-        except (FileNotFoundError, AssertionError):
-            ev_intrs = []
-        intr = (jnp.asarray(ev_intrs[0]) if len(ev_intrs) else jnp.asarray(
-            [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]))
+        # spherical path (runner.py:105-125), not a synthetic focal. The
+        # training dataset already carries them — don't volume-render the
+        # eval GT set just to read one 3x3 matrix.
+        if hasattr(data, "focal"):
+            f = float(np.asarray(data.focal).reshape(-1)[0])
+            intr = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+        else:
+            try:
+                _, _, ev_intrs = load_eval_views(cfg, data, H, W)
+            except (FileNotFoundError, AssertionError):
+                ev_intrs = []
+            intr = (jnp.asarray(ev_intrs[0]) if len(ev_intrs) else jnp.asarray(
+                [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]))
         frames = []
         for c2w in path_spherical(cfg.get("render_frames", 8)):
             rgb, _ = trainer.render_image(jnp.asarray(c2w), intr, H, W)

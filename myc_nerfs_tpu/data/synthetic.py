@@ -165,7 +165,9 @@ def make_detail_scene(n_views: int = 36, H: int = 256, W: int = 256,
     for i in range(n_views):
         strips = [render_strip(poses[i], intr[i], jnp.asarray(float(r0)))
                   for r0 in range(0, H, chunk_rows)]
-        images.append(jnp.concatenate(strips, axis=0))
+        # the last strip overruns when H % chunk_rows != 0: trim to H rows
+        # so images stay aligned with the (H, W) ray grid downstream
+        images.append(jnp.concatenate(strips, axis=0)[:H])
     images = jnp.stack(images)
     return SyntheticScene(images=images, poses=poses, intr=intr, H=H, W=W,
                           depth_range=depth_range)

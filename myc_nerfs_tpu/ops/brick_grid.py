@@ -120,19 +120,51 @@ def _vert_selectors(dtype=np.float32):
 _SELECTORS = _vert_selectors()
 
 
-def _hat_weights(u: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample trilinear weights over the brick's 5^3 vertices.
+def brick_coords(pos: jnp.ndarray, scales: jnp.ndarray):
+    """Shared coordinate split: pos [N, 3] x scales [L] ->
+    (brick [N, L, 3] float integer-valued, u [N, L, 3] in [0, 4)).
 
-    u [N, 3] in [0, 4): hat(u - i) is nonzero only at i = floor(u), +1 —
-    the product of the broadcast per-axis hats reproduces the cell's
-    trilinear weights exactly. Returns [N, 128] (slots 125..127 zero).
+    Matches the reference's per-level cell derivation (HashEncode.h:37-66:
+    pos*scale + 0.5, floor to cells) regrouped to 4^3-cell bricks. Used by
+    brick_encode, paired_encode, and the level-TP local encoder so the
+    layout math exists in exactly one place.
     """
+    p = pos[:, None, :] * scales[None, :, None] + 0.5
+    brick = jnp.floor(jnp.floor(p) * (1.0 / BRICK_CELLS))
+    return brick, p - brick * BRICK_CELLS
+
+
+def hash_bricks(brick: jnp.ndarray) -> jnp.ndarray:
+    """Unmasked uint32 prime-XOR hash of brick coords [..., 3] — the
+    reference's injected hash function (configs/Easyship.py:89) applied at
+    brick granularity. Callers mask by their power-of-two row count."""
+    b = brick if brick.dtype == jnp.uint32 else brick.astype(jnp.uint32)
+    return (b[..., 0] * np.uint32(HASH_PRIMES[0])
+            ^ b[..., 1] * np.uint32(HASH_PRIMES[1])
+            ^ b[..., 2] * np.uint32(HASH_PRIMES[2]))
+
+
+def hat_tents(u: jnp.ndarray, wdtype=None) -> jnp.ndarray:
+    """Per-axis tent weights: u [..., 3] in [0, 4) -> [..., 3, 5].
+    hat(u - i) is nonzero only at i = floor(u), +1."""
     iota = jnp.arange(BRICK_VERTS, dtype=u.dtype)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 0:1] - iota))  # [N, 5]
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 1:2] - iota))
-    wz = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, 2:3] - iota))
-    Sx, Sy, Sz = (jnp.asarray(s, u.dtype) for s in _SELECTORS)
-    return (wx @ Sx) * (wy @ Sy) * (wz @ Sz)
+    h = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota))
+    return h.astype(wdtype) if wdtype is not None else h
+
+
+def combine_tents(h: jnp.ndarray) -> jnp.ndarray:
+    """Tent weights [..., 3, 5] -> row weights [..., 128] via the 5x128
+    selector matmuls (MXU-friendly; the per-axis product of broadcast hats
+    reproduces the cell's trilinear weights exactly, slots 125..127 zero).
+    """
+    Sx, Sy, Sz = (jnp.asarray(s, h.dtype) for s in _SELECTORS)
+    return (h[..., 0, :] @ Sx) * (h[..., 1, :] @ Sy) * (h[..., 2, :] @ Sz)
+
+
+def _hat_weights(u: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample trilinear weights over the brick's 5^3 vertices:
+    u [N, 3] in [0, 4) -> [N, 128]."""
+    return combine_tents(hat_tents(u))
 
 
 def _brick_ids(levels: BrickLevels, lv: int, brick: jnp.ndarray) -> jnp.ndarray:
@@ -151,11 +183,7 @@ def _brick_ids(levels: BrickLevels, lv: int, brick: jnp.ndarray) -> jnp.ndarray:
         return idx.astype(jnp.int32)
     n = levels.n_bricks[lv]
     assert n & (n - 1) == 0, "hashed brick count must be a power of two"
-    b = brick.astype(jnp.uint32)
-    idx = (b[:, 0] * np.uint32(HASH_PRIMES[0])
-           ^ b[:, 1] * np.uint32(HASH_PRIMES[1])
-           ^ b[:, 2] * np.uint32(HASH_PRIMES[2]))
-    return (idx & np.uint32(n - 1)).astype(jnp.int32)
+    return (hash_bricks(brick) & np.uint32(n - 1)).astype(jnp.int32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -257,22 +285,15 @@ def paired_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
         pos = jax.lax.stop_gradient(pos)
     N = pos.shape[0]
     wdtype = compute_dtype or tables[0].dtype
-    Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in _SELECTORS)
-    iota5 = jnp.arange(BRICK_VERTS, dtype=pos.dtype)
 
     def hat128(u):
-        h = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota5))  # [N,3,5]
-        h = h.astype(wdtype)
-        return (h[:, 0] @ Sx) * (h[:, 1] @ Sy) * (h[:, 2] @ Sz)
+        return combine_tents(hat_tents(u, wdtype))
 
     # key-level (finest member) cell math, batched over groups like
     # brick_encode's fused all-level chain
     key_lvls = [m[-1] for m in groups.groups]
     key_scales = jnp.asarray([levels.scales[k] for k in key_lvls], pos.dtype)
-    p = pos[:, None, :] * key_scales[None, :, None] + 0.5      # [N, G, 3]
-    base = jnp.floor(p)
-    brick = jnp.floor(base * (1.0 / BRICK_CELLS))
-    u_key = p - brick * BRICK_CELLS                            # [0, 4)
+    brick, u_key = brick_coords(pos, key_scales)               # [N, G, 3]
 
     per_level_feats: List[Optional[jnp.ndarray]] = [None] * levels.n_levels
     for g, members in enumerate(groups.groups):
@@ -338,10 +359,7 @@ def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
     # --- all-level index + weight math in ONE fused chain (per-level loops
     # fragment into 16 small elementwise graphs that each round-trip HBM)
     scales = jnp.asarray(levels.scales, pos.dtype)              # [L]
-    p = pos[:, None, :] * scales[None, :, None] + 0.5           # [N, L, 3]
-    base = jnp.floor(p)
-    brick = jnp.floor(base * (1.0 / BRICK_CELLS))
-    u = p - brick * BRICK_CELLS                                 # [0, 4)
+    brick, u = brick_coords(pos, scales)                        # [N, L, 3]
 
     dims = np.asarray(levels.brick_dims, np.float32)            # [L, 3]
     dense = np.asarray(levels.dense)
@@ -350,29 +368,21 @@ def brick_encode(tables: List[jnp.ndarray], positions: jnp.ndarray,
     dense_idx = (bc[..., 0] + bc[..., 1] * jnp.asarray(dims[:, 0], pos.dtype)
                  + bc[..., 2] * jnp.asarray(dims[:, 0] * dims[:, 1], pos.dtype))
     # hashed: reference prime XOR on the brick coordinate, pow2 mask
-    bu = brick.astype(jnp.uint32)
-    hash_idx = (bu[..., 0] * np.uint32(HASH_PRIMES[0])
-                ^ bu[..., 1] * np.uint32(HASH_PRIMES[1])
-                ^ bu[..., 2] * np.uint32(HASH_PRIMES[2]))
     masks = np.asarray([n - 1 for n in levels.n_bricks], np.uint32)
-    hash_idx = hash_idx & jnp.asarray(masks)[None, :]
+    hash_idx = hash_bricks(brick) & jnp.asarray(masks)[None, :]
     bids = jnp.where(jnp.asarray(dense)[None, :],
                      dense_idx.astype(jnp.int32),
                      hash_idx.astype(jnp.int32))                # [N, L]
 
     wdtype = compute_dtype or tables[0].dtype
-    iota = jnp.arange(BRICK_VERTS, dtype=u.dtype)
-    hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota))  # [N, L, 3, 5]
-    hat = hat.astype(wdtype)
-    Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in _SELECTORS)
+    hat = hat_tents(u, wdtype)                                  # [N, L, 3, 5]
 
     outs: List[jnp.ndarray] = []
     for lv in range(L):
         table = tables[lv]
         if compute_dtype is not None and table.dtype != compute_dtype:
             table = table.astype(compute_dtype)
-        h = hat[:, lv]
-        wl = (h[:, 0] @ Sx) * (h[:, 1] @ Sy) * (h[:, 2] @ Sz)
+        wl = combine_tents(hat[:, lv])
         n_rows = table.shape[0]
         if n_rows <= ONEHOT_MAX_ROWS:
             # tiny dense level: route the row selection through the MXU.

@@ -21,7 +21,7 @@ try:  # jax>=0.4.35 top-level export
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..models.ngp import HASH_PRIMES, HashGridConfig, NGPModel, NGPModelConfig
+from ..models.ngp import HashGridConfig, NGPModel, NGPModelConfig
 from ..render.ngp_render import NGPRenderConfig
 from ..train import ngp_trainer
 from . import mesh as mesh_lib
@@ -139,26 +139,18 @@ class LevelTPModel(NGPModel):
         wdtype = self._enc_dtype or stacked.dtype
         scales = jnp.asarray([lv.scales[l] for l in self.hashed_ids],
                              pos.dtype)
-        Sx, Sy, Sz = (jnp.asarray(s, wdtype) for s in bg._SELECTORS)
-        iota5 = jnp.arange(bg.BRICK_VERTS, dtype=pos.dtype)
 
         def local_enc(tabs, scales_l, p):
             # tabs [L_local, R, F*128] (this chip's whole levels),
-            # scales_l [L_local], p [n_local, 3]
-            x = p[:, None, :] * scales_l[None, :, None] + 0.5
-            brick = jnp.floor(jnp.floor(x) * (1.0 / bg.BRICK_CELLS))
-            u = x - brick * bg.BRICK_CELLS
-            bu = brick.astype(jnp.uint32)
-            idx = ((bu[..., 0] * np.uint32(HASH_PRIMES[0])
-                    ^ bu[..., 1] * np.uint32(HASH_PRIMES[1])
-                    ^ bu[..., 2] * np.uint32(HASH_PRIMES[2]))
+            # scales_l [L_local], p [n_local, 3] — same brick layout math
+            # as brick_encode, via the shared brick_grid helpers
+            brick, u = bg.brick_coords(p, scales_l)
+            idx = (bg.hash_bricks(brick)
                    & np.uint32(R - 1)).astype(jnp.int32)
-            hat = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - iota5))
-            hat = hat.astype(wdtype)
+            hat = bg.hat_tents(u, wdtype)
             outs = []
             for l in range(tabs.shape[0]):
-                wl = ((hat[:, l, 0] @ Sx) * (hat[:, l, 1] @ Sy)
-                      * (hat[:, l, 2] @ Sz))
+                wl = bg.combine_tents(hat[:, l])
                 rows = tabs[l].astype(wdtype)[idx[:, l]]
                 for f in range(F):
                     outs.append((rows[:, f * bg.ROW_VERTS:

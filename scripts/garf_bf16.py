@@ -55,6 +55,9 @@ def run(tag, use_bf16):
     _ = float(m["psnr"])
     t0 = time.perf_counter()
     nblk = STEPS // 16 - 1
+    if nblk < 1:
+        raise SystemExit(f"STEPS={STEPS} too small: need >= 32 "
+                         "(one warmup block + one timed 16-step block)")
     for i in range(1, 1 + nblk):
         state, m = block(state, jax.random.fold_in(key, i))
     p = float(m["psnr"])
