@@ -263,3 +263,104 @@ def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
                                             jax.random.PRNGKey(7))
         jax.block_until_ready(metrics["loss"])
     return new_state, metrics
+
+
+def multichip_tensorf_train_block(mesh, n_rays: int = 64, n_steps: int = 2,
+                                  seed: int = 0, replicate: bool = False):
+    """Ray-axis DP for the TensoRF stack: the scanned train block
+    (tensorf_trainer.make_train_block) with ray/rgb batches sharded over
+    "data" and factor grids + shading MLP replicated — GSPMD inserts the
+    gradient psum (SURVEY §2.5 DP row; the reference stack is single-GPU,
+    tensorf-myc/train.py). ``replicate=True`` runs the identical program
+    fully replicated for parity checks. Returns (metrics, params).
+    """
+    from ..models import tensorf as tf_m
+    from ..train import tensorf_trainer as tt
+    from ..data.synthetic import orbit_poses
+
+    aabb = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]])
+    mcfg = tf_m.TensoRFConfig(density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4),
+                              app_dim=8, featureC=16, near_far=(1.5, 4.5),
+                              distance_scale=25.0, density_shift=-5.0,
+                              shading_mode="MLP_Fea")
+    tcfg = tt.TensoRFTrainConfig(
+        n_iters=n_steps, batch_size=n_rays, n_voxel_init=8 ** 3,
+        n_voxel_final=8 ** 3, upsamp_list=(), update_alphamask_list=(),
+        n_samples_cap=16)
+    trainer = tt.TensoRFTrainer(mcfg, tcfg, aabb, jax.random.PRNGKey(seed))
+
+    H = W = 8
+    poses = orbit_poses(4)
+    f = 1.2 * W
+    intr = jnp.broadcast_to(
+        jnp.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]), (4, 3, 3))
+    store = tt.build_ray_store(poses, intr, H, W)
+    ids = jax.random.permutation(jax.random.PRNGKey(seed + 1),
+                                 store.shape[0])[:n_steps * n_rays]
+    rays = store[ids].reshape(n_steps, n_rays, 6)
+    rgbs = jax.random.uniform(jax.random.PRNGKey(seed + 2),
+                              (n_steps, n_rays, 3))
+    repl = mesh_lib.replicated(mesh)
+    params = jax.device_put(trainer.params, repl)
+    opt_state = jax.device_put(trainer.opt_state, repl)
+    if not replicate:
+        rays, rgbs = mesh_lib.shard_batch(mesh, rays, rgbs, axis=1)
+    with mesh:
+        params, opt_state, metrics = trainer.block_fn(
+            params, opt_state, rays, rgbs, jax.random.PRNGKey(7),
+            jnp.int32(0))
+        jax.block_until_ready(metrics["mse"])
+    return metrics, params
+
+
+def _place_nerf_state(mesh, state, n_images: int, replicate: bool = False):
+    """Image-axis DP placement for BARF/GARF: per-image leaves (se3_refine,
+    pose_noise and the pose-optimizer Adam moments, all [n_images, 6])
+    sharded over "data"; MLP params/opt replicated."""
+    repl = mesh_lib.replicated(mesh)
+    img_axis = NamedSharding(mesh, P("data"))
+
+    def place(leaf):
+        arr = jnp.asarray(leaf)
+        if (not replicate and arr.ndim >= 1 and arr.shape[0] == n_images):
+            return jax.device_put(arr, img_axis)
+        return jax.device_put(arr, repl)
+
+    pose_leaves = state._replace(params=None, opt_state=None, step=None)
+    placed = jax.tree_util.tree_map(place, pose_leaves)
+    return placed._replace(
+        params=jax.device_put(state.params, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl))
+
+
+def multichip_nerf_train_block(mesh, n_images: int = 8, size: int = 10,
+                               n_steps: int = 2, seed: int = 0,
+                               replicate: bool = False):
+    """Image-axis DP for the BARF/GARF stack: images/poses/intrinsics and
+    the per-image se(3) corrections are sharded over "data" (each chip
+    refines its own cameras — pose gradients never cross chips), the NeRF
+    MLP is replicated and its gradients psum over ICI. The per-step random
+    ray subsampling (nerf.py:219) happens per image, so the batch axis IS
+    the image axis. Returns (state, metrics).
+    """
+    from ..data.synthetic import make_scene
+    from ..train import nerf_trainer as nt
+
+    scene = make_scene(n_views=n_images, H=size, W=size)
+    cfg = nt.NeRFTrainConfig(model="garf", refine_pose=True,
+                             camera_noise=0.05, start_pose_correct_iter=0,
+                             rand_rays=n_images * 16, sample_intvs=8,
+                             max_iter=64)
+    model, state = nt.init_state(cfg, jax.random.PRNGKey(seed), n_images)
+    state = _place_nerf_state(mesh, state, n_images, replicate=replicate)
+    imgs, poses, intr = (scene.images, scene.poses, scene.intr)
+    if not replicate:
+        imgs, poses, intr = mesh_lib.shard_batch(mesh, imgs, poses, intr,
+                                                 axis=0)
+    block = nt.make_train_block(cfg, model, imgs, poses, intr,
+                                steps_per_block=n_steps)
+    with mesh:
+        state, metrics = block(state, jax.random.PRNGKey(7))
+        jax.block_until_ready(metrics["loss"])
+    return state, metrics

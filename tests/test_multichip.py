@@ -119,3 +119,48 @@ class TestLevelTP:
         for a, b in zip(leaves_tp, leaves_rep):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestFamilyDP:
+    """DP coverage beyond the NGP stack (SURVEY §2.5: DP is first-class for
+    every family; the reference is single-GPU everywhere)."""
+
+    # Parity is asserted on ONE step: after an optimizer update, Adam's
+    # first-step sign sensitivity on near-zero grads amplifies f32
+    # reduction-order noise into O(lr) param differences, so multi-step
+    # DP-vs-replicated comparisons are chaotic by construction. A second
+    # 2-step run checks the scanned path stays finite under sharding.
+
+    def test_tensorf_dp_block_matches_replicated(self, devices):
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        met_dp, params_dp = spmd.multichip_tensorf_train_block(m, n_rays=64,
+                                                              n_steps=1)
+        met_rep, params_rep = spmd.multichip_tensorf_train_block(
+            m, n_rays=64, n_steps=1, replicate=True)
+        np.testing.assert_allclose(float(met_dp["mse"]),
+                                   float(met_rep["mse"]), rtol=1e-5)
+        a = jax.tree_util.tree_leaves(params_dp)
+        b = jax.tree_util.tree_leaves(params_rep)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-3, atol=2e-5)
+        met2, _ = spmd.multichip_tensorf_train_block(m, n_rays=64, n_steps=2)
+        assert np.isfinite(float(met2["mse"]))
+
+    def test_nerf_garf_image_dp_matches_replicated(self, devices):
+        """Image-axis DP for BARF/GARF: per-image se(3) grads stay local,
+        MLP grads psum; parity against the replicated run."""
+        m = mesh_lib.make_mesh(devices)
+        st_dp, met_dp = spmd.multichip_nerf_train_block(m, n_images=8,
+                                                        size=10, n_steps=1)
+        st_rep, met_rep = spmd.multichip_nerf_train_block(
+            m, n_images=8, size=10, n_steps=1, replicate=True)
+        np.testing.assert_allclose(float(met_dp["loss"]),
+                                   float(met_rep["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_dp.se3_refine),
+                                   np.asarray(st_rep.se3_refine),
+                                   rtol=2e-3, atol=2e-6)
+        st2, met2 = spmd.multichip_nerf_train_block(m, n_images=8, size=10,
+                                                    n_steps=2)
+        assert np.isfinite(float(met2["loss"]))
+        assert np.isfinite(np.asarray(st2.se3_refine)).all()
