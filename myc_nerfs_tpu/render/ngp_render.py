@@ -127,20 +127,36 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     tc = tmin[:, None] + span[:, None] * frac[None, :]
     pos_c = rays_o[:, None, :] + rays_d[:, None, :] * tc[..., None]
     occ_c = lookup(pos_c)
-    any_occ = occ_c.any(axis=1)
     wb = span / Mc                                    # coarse bin width
 
     # --- pass 2: inverse-CDF placement over the occupied bins
     # (multi-span-aware: samples land ONLY in occupied bins, wherever they
     # are along the ray — replaces advance_to_next_voxel DDA skipping,
-    # ray_sampler_header.h:728-752). The sample's arc-rank advances by the
-    # reference's calc_dt per step, so the MAX_STEP/cone-angle budget holds:
-    # rays whose occupied arc is shorter than K*dt get fewer valid samples.
-    K = rcfg.n_samples
-    o = occ_c.astype(jnp.float32)
+    # ray_sampler_header.h:728-752)
+    return _place_samples(occ_cfg, rcfg, rays_o, rays_d, tmin, span, wb,
+                          occ_c, rcfg.n_samples, key, lookup)
+
+
+def _place_samples(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
+                   rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                   tmin: jnp.ndarray, span: jnp.ndarray, wb: jnp.ndarray,
+                   mask: jnp.ndarray, K: int, key: Optional[jax.Array],
+                   sample_check) -> MarchedRays:
+    """Shared pass-2 of march_rays / march_rays_fused: inverse-CDF placement
+    of K samples over the masked coarse bins, AABB warp epilogue.
+
+    The sample's arc-rank advances by the reference's calc_dt per step, so
+    the MAX_STEP/cone-angle budget holds: rays whose live arc is shorter
+    than K*dt get fewer valid samples. ``sample_check(pos [N,K,3]) -> bool``
+    re-checks occupancy at the placed samples (bitfield for the two-pass
+    march, density-grid threshold for the fused march).
+    """
+    N = rays_o.shape[0]
+    any_occ = mask.any(axis=1)
+    o = mask.astype(jnp.float32)
     c = jnp.cumsum(o, axis=1)                         # [N, Mc]
     n_occ = c[:, -1]
-    arc = n_occ * wb                                  # occupied arc length
+    arc = n_occ * wb                                  # live arc length
     dt_ref = calc_dt(rcfg, occ_cfg.n_cascades, occ_cfg.grid_size,
                      tmin + 0.5 * span)
     dt = jnp.maximum(arc / K, dt_ref)                 # [N]
@@ -148,7 +164,7 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
         xi = jax.random.uniform(key, (N, 1))
     else:
         xi = 0.5
-    # arc-rank of each sample, in occupied-bin units. A ray that misses the
+    # arc-rank of each sample, in live-bin units. A ray that misses the
     # AABB has span == 0 -> wb == 0: the safe inverse keeps r/t/positions
     # finite (0 * anything would otherwise be NaN and leak through the MLP
     # into the composite even at zero weight); `hit` gates validity.
@@ -163,7 +179,7 @@ def march_rays(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     valid_budget = r < n_occ[:, None]
 
     pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-    occ_f = lookup(pos)
+    occ_f = sample_check(pos)
     lo, hi = rcfg.aabb
     inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
     valid = occ_f & inbox & any_occ[:, None] & valid_budget & hit[:, None]
@@ -243,45 +259,16 @@ def march_rays_fused(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
     logT_prev = jnp.concatenate(
         [jnp.zeros((N, 1)), -jnp.cumsum(od, axis=1)[:, :-1]], axis=1)
     live = occ_c & (logT_prev > jnp.log(eps)) if eps > 0 else occ_c
-    any_occ = live.any(axis=1)
 
-    # --- pass 2: inverse-CDF placement over LIVE bins (rank trick as in
-    # march_rays; arc-rank advances by calc_dt so the MAX_STEP budget holds)
-    o = live.astype(jnp.float32)
-    c = jnp.cumsum(o, axis=1)
-    n_occ = c[:, -1]
-    arc = n_occ * wb
-    dt_ref = calc_dt(rcfg, occ_cfg.n_cascades, occ_cfg.grid_size,
-                     tmin + 0.5 * span)
-    dt = jnp.maximum(arc / K, dt_ref)
-    if key is not None:
-        xi = jax.random.uniform(key, (N, 1))
-    else:
-        xi = 0.5
-    # safe inverse: span == 0 (ray misses the AABB) would make every term
-    # NaN through 0 * inf; `hit` gates validity instead (see march_rays)
-    hit = span > 0.0
-    inv_wb = jnp.where(hit, 1.0 / jnp.where(hit, wb, 1.0), 0.0)
-    r = (jnp.arange(K, dtype=jnp.float32)[None, :] + xi) * (dt * inv_wb)[:, None]
-    bin_idx = (c[:, None, :] <= r[:, :, None]).sum(-1).astype(jnp.float32)
-    frac_in = r - jnp.floor(r)
-    t = tmin[:, None] + (bin_idx + frac_in) * wb[:, None]
-    valid_budget = r < n_occ[:, None]
+    # --- pass 2: shared inverse-CDF placement over LIVE bins; the final
+    # per-sample re-check reads the density grid against the bitfield
+    # threshold (same decision — see _sigma_probe)
+    def check(pos):
+        gf = _sigma_probe(occ_cfg, occ_state.density_grid, pos, single_mip)
+        return gf > thresh
 
-    pos = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]
-    gf = _sigma_probe(occ_cfg, occ_state.density_grid, pos, single_mip)
-    lo, hi = rcfg.aabb
-    inbox = jnp.logical_and(pos >= lo, pos <= hi).all(-1)
-    valid = ((gf > thresh) & inbox & any_occ[:, None] & valid_budget
-             & hit[:, None])
-
-    extent = hi - lo
-    warped_pos = jnp.clip((pos - lo) / extent, 0.0, 1.0)
-    warped_dir = (rays_d[:, None, :] + 1.0) * 0.5
-    warped_dir = jnp.broadcast_to(warped_dir, pos.shape)
-    dt_full = jnp.broadcast_to(dt[:, None], t.shape)
-    return MarchedRays(positions=warped_pos, dirs=warped_dir, dt=dt_full,
-                       t=t, valid=valid)
+    return _place_samples(occ_cfg, rcfg, rays_o, rays_d, tmin, span, wb,
+                          live, K, key, check)
 
 
 def compact_marched(marched: MarchedRays, sigma_det: jnp.ndarray,

@@ -184,12 +184,23 @@ def update_bitfield(cfg: OccupancyConfig, grid: jnp.ndarray
 
 
 def make_density_grid_update(cfg: OccupancyConfig, density_raw_fn: Callable,
-                             n_uniform: int, n_nonuniform: int):
+                             n_uniform: int, n_nonuniform: int,
+                             aabb: Tuple[float, float] = (0.0, 1.0)):
     """Build the jitted grid-update step (update_density_grid_nerf,
     density_grid_sampler.py:200-246).
 
-    ``density_raw_fn(params, positions [n,3]) -> raw density [n]``.
+    ``density_raw_fn(params, positions [n,3]) -> raw density [n]``. The
+    network consumes AABB-warped coordinates (the reference warps the
+    generated world positions before model.density:
+    generate_grid_samples_nerf_nonuniform.h:34 ``warp_position(pos, aabb)``,
+    no clip — ray_sampler_header.h:790-796), so ``aabb`` must be the SAME
+    (lo, hi) the renderer warps with (NGPRenderConfig.aabb). At
+    aabb_scale=1 the warp is the identity; for cascaded scenes the grid
+    update would otherwise splat densities read from wrapped hash indices.
     """
+    if density_raw_fn is None:
+        raise ValueError("make_density_grid_update requires a density fn")
+    lo, hi = aabb
 
     @jax.jit
     def update(state: OccupancyState, params, key: jax.Array) -> OccupancyState:
@@ -202,7 +213,8 @@ def make_density_grid_update(cfg: OccupancyConfig, density_raw_fn: Callable,
             parts.append((pos_n, idx_n))
         pos = jnp.concatenate([p for p, _ in parts])
         idx = jnp.concatenate([i for _, i in parts])
-        raw = density_raw_fn(params, pos)[..., 0] if density_raw_fn else None
+        warped = (pos - lo) / (hi - lo)
+        raw = density_raw_fn(params, warped)[..., 0]
         tmp = jnp.zeros_like(state.density_grid)
         tmp = splat_max(cfg, tmp, idx, raw)
         grid = ema_update(cfg, state.density_grid, tmp)

@@ -123,6 +123,14 @@ class NGPTrainer:
         while (1 << max_cascade) < rcfg.aabb_scale:
             max_cascade += 1
         self.occ_cfg = occ.OccupancyConfig(max_cascade=max_cascade)
+        # reference bound check (density_grid_sampler.py:55-57): cascades
+        # above n_cascades-1 would silently clamp gathers / drop splats
+        max_aabb_scale = 1 << (self.occ_cfg.n_cascades - 1)
+        if rcfg.aabb_scale > max_aabb_scale:
+            raise ValueError(
+                f"aabb_scale={rcfg.aabb_scale} exceeds the supported "
+                f"{max_aabb_scale} (grid has {self.occ_cfg.n_cascades} "
+                "cascades; raise OccupancyConfig.n_cascades by factors of 2)")
         params = self.model.init(key)
         occ_state = occ.init_occupancy(self.occ_cfg)
         if camera_c2w is not None:
@@ -141,7 +149,7 @@ class NGPTrainer:
 
         self.grid_update = occ.make_density_grid_update(
             self.occ_cfg, lambda p, x: self.model.density_raw(p, x),
-            cfg.n_grid_uniform, cfg.n_grid_nonuniform)
+            cfg.n_grid_uniform, cfg.n_grid_nonuniform, aabb=rcfg.aabb)
         self._step_fn = self._build_step()
         self._block_fn = None   # lax.scan multi-step program, built lazily
         self._render_fn = None  # cached whole-image chunked renderer
@@ -274,7 +282,10 @@ class NGPTrainer:
         measured = max(self._measured_samples / max(self._measure_count, 1), 1.0)
         rays = int(self.n_rays_per_batch * self.cfg.target_batch_size / measured)
         rays = max(128, min(rays, self.cfg.target_batch_size))
-        self.n_rays_per_batch = 1 << int(round(np.log2(rays)))  # nearest pow2
+        snapped = 1 << int(round(np.log2(rays)))  # nearest pow2
+        if snapped > self.cfg.target_batch_size:  # non-pow2 cap: don't overshoot
+            snapped >>= 1
+        self.n_rays_per_batch = snapped
         self._measured_samples = 0.0
         self._measure_count = 0
 

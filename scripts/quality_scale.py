@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--views", type=int, default=36)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--n_compact", type=int, default=32,
+                    help="live samples per ray (32 = validated parity "
+                         "config; larger for aabb_scale>1 evidence runs)")
     ap.add_argument("--val_every", type=int, default=0,
                     help="if >0, log val PSNR of view 0 at this cadence")
     ap.add_argument("--dump", default="",
@@ -108,7 +111,8 @@ def main():
         grid=ngp.HashGridConfig(aabb_scale=args.aabb_scale),
         use_bf16=True, grid_impl=grid_impl)
     rcfg = NGPRenderConfig(
-        aabb_scale=args.aabb_scale, n_coarse=128, n_samples=64, n_compact=32,
+        aabb_scale=args.aabb_scale, n_coarse=128, n_samples=64,
+        n_compact=args.n_compact,
         near_distance=0.05, fused_march=fused,
         compact_source="grid" if fused else "network")
     tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=args.batch,
@@ -188,7 +192,8 @@ def main():
         save_checkpoint(args.ckpt, trainer.state, step=it)
     print(json.dumps({
         "variant": args.variant, "scene": args.scene,
-        "aabb_scale": args.aabb_scale, "steps": it,
+        "aabb_scale": args.aabb_scale, "n_compact": args.n_compact,
+        "steps": it,
         "train_psnr": round(float(m["psnr"]), 2),
         "val_psnr": round(float(np.mean(ps)), 2),
         "val_psnrs": [round(p, 2) for p in ps],

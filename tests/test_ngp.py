@@ -589,3 +589,37 @@ class TestKillAndResume:
         np.testing.assert_allclose(
             np.asarray(tA.state.occ.density_grid),
             np.asarray(tC.state.occ.density_grid), atol=1e-6)
+
+
+class TestGridUpdateWarp:
+    def test_update_feeds_aabb_warped_positions(self):
+        """The grid update must evaluate the network at AABB-WARPED coords
+        (generate_grid_samples_nerf_nonuniform.h:34 warp_position before
+        model.density): a density peak at a known WORLD position must splat
+        into the cascade cell containing that world position."""
+        cfg = occ.OccupancyConfig(max_cascade=1)  # aabb_scale=2: [-0.5, 1.5]
+        aabb = (-0.5, 1.5)
+        w_target = jnp.array([1.2, 1.2, 1.2])     # outside the unit box
+        p01_target = (w_target - aabb[0]) / (aabb[1] - aabb[0])  # 0.85
+
+        def density_raw(params, p01):
+            near = (jnp.abs(p01 - p01_target) < 0.05).all(-1)
+            return jnp.where(near, 5.0, -10.0)[..., None]
+
+        update = occ.make_density_grid_update(cfg, density_raw,
+                                              n_uniform=1 << 15,
+                                              n_nonuniform=0, aabb=aabb)
+        state = occ.init_occupancy(cfg)
+        state = update(state, None, jax.random.PRNGKey(0))
+        grid = np.asarray(state.density_grid)
+        G = cfg.grid_size
+        # cascade 1 spans the full aabb here, so its grid coords equal p01:
+        # hot cells must lie in the warped peak region [0.80, 0.90]^3
+        hot = np.argwhere(grid[1] > 0.1)
+        assert hot.shape[0] > 0, "no cascade-1 cell splatted hot"
+        assert (hot >= int(0.80 * G) - 1).all() and \
+               (hot <= int(0.90 * G) + 1).all(), hot
+        # cascade 0 (world [0,1] -> p01 in [0.25, 0.75]) never reaches the
+        # peak; the pre-fix unwarped code would have splatted hot cells
+        # around 0.85 * G here
+        assert grid[0].max() < 1e-3, grid[0].max()
