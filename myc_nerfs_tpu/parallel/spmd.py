@@ -35,8 +35,10 @@ def place_ngp_state(mesh, state: ngp_trainer.NGPTrainState,
     table_mode: 'rows' shards each table's rows over "model" (legacy —
     every gather becomes cross-chip); 'levels' shards a LevelTPModel's
     stacked hashed-level axis over "model" (each chip owns whole levels,
-    gathers stay local — VERDICT r2 #4); 'replicated' replicates.
-    Default keeps the old shard_table boolean semantics ('rows').
+    gathers stay local — VERDICT r2 #4); 'groups' shards a GroupTPModel's
+    stacked brick3-group axis the same way (each chip owns whole tripled-row
+    tables — the shipped single-chip layout under TP); 'replicated'
+    replicates. Default keeps the old shard_table boolean semantics ('rows').
     """
     rep = mesh_lib.replicated(mesh)
     if table_mode is None:
@@ -45,7 +47,7 @@ def place_ngp_state(mesh, state: ngp_trainer.NGPTrainState,
 
     def place(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        if table_mode == "levels" and "hashed" in names \
+        if table_mode in ("levels", "groups") and "hashed" in names \
                 and hasattr(leaf, "shape") and leaf.ndim == 3:
             return jax.device_put(
                 leaf, NamedSharding(mesh, P("model", None, None)))
@@ -164,6 +166,149 @@ class LevelTPModel(NGPModel):
         return f(stacked, scales, pos)
 
 
+class GroupTPModel(NGPModel):
+    """TP over brick3 GROUP tables (VERDICT r3 weak #5 closed).
+
+    LevelTPModel had to coerce the shipped level-tripled layout back to
+    per-level tables because a triple's members straddle level-shard
+    boundaries. Here the shard unit IS the group: the hashed groups'
+    tables are stacked [G, rows, Wmax] (narrow groups zero-padded on the
+    width axis) and sharded over "model" on the group axis, so every chip
+    owns whole triple-row tables — multi-chip TP trains the SAME layout
+    the single-chip optimum ships (PERF_NOTES §7). Gathers and backward
+    scatter-adds stay chip-local; the only collective in the encode is the
+    feature-block all-gather implied by ``out_specs=P("data", "model")``.
+    Dense (coarse) levels are small, replicated, and encoded by the plain
+    brick path exactly like LevelTPModel.
+
+    Requires n_hashed_groups % n_model == 0 (L16F2's 11 hashed levels form
+    4 groups under brick3 — divisible by tp 1/2/4).
+    """
+
+    def __init__(self, cfg: NGPModelConfig, mesh):
+        if cfg.grid_impl not in ("brick2", "brick3"):
+            cfg = dataclasses.replace(cfg, grid_impl="brick3")
+        super().__init__(cfg)
+        from ..ops import brick_grid as bg
+
+        self.mesh = mesh
+        lv, groups = self.levels, self.groups.groups
+        self.dense_groups = [g for g in groups if lv.dense[g[-1]]]
+        self.hashed_groups = [g for g in groups if not lv.dense[g[-1]]]
+        assert self.hashed_groups, "grid has no hashed groups to shard"
+        assert all(g == (g[0],) for g in self.dense_groups), \
+            "dense levels must be single groups (compute_level_groups does)"
+        nm = mesh.shape.get("model", 1)
+        assert len(self.hashed_groups) % nm == 0, \
+            f"{len(self.hashed_groups)} hashed groups not divisible by " \
+            f"model={nm}"
+        rows = {lv.n_bricks[g[-1]] for g in self.hashed_groups}
+        assert len(rows) == 1, "hashed groups must share one row budget"
+        self.n_rows = rows.pop()
+        self.gmax = max(len(g) for g in self.hashed_groups)
+        nd_ = len(self.dense_groups)
+        assert [g[0] for g in self.dense_groups] == list(range(nd_)), \
+            "dense levels must be the contiguous coarse prefix"
+        self.dense_levels = bg.BrickLevels(
+            scales=lv.scales[:nd_], resolutions=lv.resolutions[:nd_],
+            brick_dims=lv.brick_dims[:nd_], dense=lv.dense[:nd_],
+            n_bricks=lv.n_bricks[:nd_],
+            bricks_per_level=lv.bricks_per_level, n_levels=nd_)
+        self.dense_cfg = dataclasses.replace(cfg.grid, n_levels=nd_)
+        self._enc_dtype = jnp.bfloat16 if cfg.use_bf16 else None
+        # static member metadata, padded to gmax (pad slots reuse the key
+        # level: their features read zero-initialized pad columns and are
+        # dropped by _col_map, so their exact math is irrelevant)
+        F = cfg.grid.n_features
+        self._key_scales = np.asarray(
+            [lv.scales[g[-1]] for g in self.hashed_groups], np.float32)
+        self._member_scales = np.asarray(
+            [[lv.scales[g[min(j, len(g) - 1)]] for j in range(self.gmax)]
+             for g in self.hashed_groups], np.float32)
+        # column map: padded [G * gmax * F] feature layout -> level order
+        cols = []
+        for gi, g in enumerate(self.hashed_groups):
+            for j, _ in enumerate(g):
+                cols.extend(gi * self.gmax * F + j * F + f for f in range(F))
+        self._col_map = np.asarray(cols, np.int32)
+        self._encode = self._tp_encode  # type: ignore[assignment]
+
+    def init(self, key: jax.Array):
+        params = super().init(key)
+        tabs = params["table"]  # per-GROUP list (init_paired_table order)
+        F = self.cfg.grid.n_features
+        wmax = self.gmax * F * bg_row_verts()
+        nd_ = len(self.dense_groups)
+        hashed = []
+        for t in tabs[nd_:]:
+            pad = wmax - t.shape[1]
+            hashed.append(jnp.pad(t, ((0, 0), (0, pad))) if pad else t)
+        return {"table": {"dense": list(tabs[:nd_]),
+                          "hashed": jnp.stack(hashed)},
+                "mlp": params["mlp"]}
+
+    def _tp_encode(self, table, positions):
+        from ..ops import brick_grid as bg
+
+        shape = positions.shape[:-1]
+        pos = jax.lax.stop_gradient(positions.reshape(-1, 3))
+        dense_out = bg.brick_encode(
+            table["dense"], pos, self.dense_cfg, self.dense_levels,
+            compute_dtype=self._enc_dtype)
+        padded = self._hashed_tp(table["hashed"], pos)   # [N, G*gmax*F]
+        hashed_out = padded[:, jnp.asarray(self._col_map)]
+        out = jnp.concatenate([dense_out,
+                               hashed_out.astype(dense_out.dtype)], -1)
+        return out.reshape(shape + (self.cfg.grid.out_dim,))
+
+    def _hashed_tp(self, stacked: jnp.ndarray, pos: jnp.ndarray):
+        from ..ops import brick_grid as bg
+
+        F = self.cfg.grid.n_features
+        R = self.n_rows
+        assert R & (R - 1) == 0
+        wdtype = self._enc_dtype or stacked.dtype
+        key_scales = jnp.asarray(self._key_scales, pos.dtype)
+        mem_scales = jnp.asarray(self._member_scales, pos.dtype)
+
+        def local_enc(tabs, kscales, mscales, p):
+            # tabs [G_local, R, gmax*F*128] (this chip's whole groups),
+            # kscales [G_local], mscales [G_local, gmax], p [n_local, 3] —
+            # the paired_encode member math with traced scales: for the key
+            # member the window base reduces to the brick origin, so one
+            # formula covers key + coarser members (and pad slots)
+            brick, _ = bg.brick_coords(p, kscales)          # [n, G_local, 3]
+            idx = (bg.hash_bricks(brick)
+                   & np.uint32(R - 1)).astype(jnp.int32)
+            outs = []
+            for g in range(tabs.shape[0]):
+                rows = tabs[g].astype(wdtype)[idx[:, g]]
+                r_inv = mscales[g] / kscales[g]              # [gmax] <= 1
+                for j in range(self.gmax):
+                    x_c = p * mscales[g, j] + 0.5
+                    base_c = jnp.floor(
+                        (bg.BRICK_CELLS * brick[:, g] - 0.5) * r_inv[j] + 0.5)
+                    wl = bg.combine_tents(bg.hat_tents(x_c - base_c, wdtype))
+                    off = j * F * bg.ROW_VERTS
+                    for f in range(F):
+                        outs.append((rows[:, off + f * bg.ROW_VERTS:
+                                          off + (f + 1) * bg.ROW_VERTS]
+                                     * wl).sum(-1))
+            return jnp.stack(outs, -1)  # [n_local, G_local*gmax*F]
+
+        f = shard_map(local_enc, mesh=self.mesh,
+                      in_specs=(P("model", None, None), P("model"),
+                                P("model", None), P("data", None)),
+                      out_specs=P("data", "model"))
+        return f(stacked, key_scales, mem_scales, pos)
+
+
+def bg_row_verts() -> int:
+    from ..ops import brick_grid as bg
+
+    return bg.ROW_VERTS
+
+
 def multichip_ngp_train_step(mesh, n_rays: int = 256,
                              shard_table: bool = True,
                              model_cfg: Optional[NGPModelConfig] = None,
@@ -225,6 +370,13 @@ def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
         model_cfg = NGPModelConfig(
             grid=HashGridConfig(n_levels=5, log2_hashmap_size=14,
                                 desired_resolution=256.0))
+    elif table_mode == "groups":
+        # enough hashed levels that brick3 grouping yields >= n_model
+        # groups: 1 dense + 6 hashed -> 2 triple groups
+        model_cfg = NGPModelConfig(
+            grid=HashGridConfig(n_levels=7, log2_hashmap_size=14,
+                                desired_resolution=512.0),
+            grid_impl="brick3")
     else:
         model_cfg = NGPModelConfig(
             grid=HashGridConfig(n_levels=4, desired_resolution=64.0))
@@ -233,6 +385,7 @@ def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
         n_rays_per_batch=n_rays, target_batch_size=1 << 10,
         n_grid_uniform=1 << 10, n_grid_nonuniform=0)
     model = (LevelTPModel(model_cfg, mesh) if table_mode == "levels"
+             else GroupTPModel(model_cfg, mesh) if table_mode == "groups"
              else None)
     trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
                                      jax.random.PRNGKey(seed), model=model)
@@ -351,7 +504,7 @@ def multichip_nerf_train_block(mesh, n_images: int = 8, size: int = 10,
     cfg = nt.NeRFTrainConfig(model="garf", refine_pose=True,
                              camera_noise=0.05, start_pose_correct_iter=0,
                              rand_rays=n_images * 16, sample_intvs=8,
-                             max_iter=64)
+                             max_iter=64, mlp_tile=False)
     model, state = nt.init_state(cfg, jax.random.PRNGKey(seed), n_images)
     state = _place_nerf_state(mesh, state, n_images, replicate=replicate)
     imgs, poses, intr = (scene.images, scene.poses, scene.intr)

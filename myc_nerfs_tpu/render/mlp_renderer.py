@@ -37,24 +37,39 @@ def render_rays_mlp(
     view_dep: bool = True,
     fine_apply_fn=None,
     n_samples_fine: int = 0,
+    tile: bool = True,
 ) -> RenderOut:
     """Render rays with an MLP field.
 
     ``apply_fn(points [B,R,N,3], ray_unit [B,R,N,3] | None) -> (rgb, sigma)``
     closes over params/progress. center/ray: [B, R, 3].
+
+    The [B, R] split is an internal choice (the reference's contract is the
+    total ray count, nerf.py:219); rays are re-tiled to a non-pow2 x
+    non-pow2 [G1, G2] BEFORE depth sampling so every downstream activation
+    is born at that shape — see _mlp_tile_dims for the measured XLA:TPU
+    layout cliff this sidesteps. Outputs are un-tiled back to [B, R].
+    ``tile=False`` keeps the caller's [B, R] (image-axis DP shards rays on
+    B; the tile reshape would cross the shard boundary).
     """
     B, R = center.shape[:2]
-    depth = sampling.sample_depth(key, (B, R), n_samples, depth_range,
-                                  stratified=stratified)
+    g1, g2, pad = _mlp_tile_dims(B * R)
+    tiled = tile and (g1, g2) != (B, R)
+    if tiled:
+        center = _tile_rays(center, g1, g2, pad)
+        ray = _tile_rays(ray, g1, g2, pad)
+    depth = sampling.sample_depth(key, center.shape[:2], n_samples,
+                                  depth_range, stratified=stratified)
     out = _eval_and_composite(apply_fn, center, ray, depth, bg_color, view_dep)
     if fine_apply_fn is not None and n_samples_fine > 0:
         # hierarchical fine sampling from the coarse probability (nerf.py:252-266)
         pdf = out.prob[..., 0]
         depth_fine = sampling.sample_depth_from_pdf(pdf, n_samples_fine, depth_range)
         depth_all = jnp.sort(jnp.concatenate([depth, depth_fine], axis=-2), axis=-2)
-        out_fine = _eval_and_composite(fine_apply_fn, center, ray, depth_all,
-                                       bg_color, view_dep)
-        return out_fine
+        out = _eval_and_composite(fine_apply_fn, center, ray, depth_all,
+                                  bg_color, view_dep)
+    if tiled:
+        out = RenderOut(*(_untile_rays(x, B, R) for x in out))
     return out
 
 
@@ -68,6 +83,41 @@ def _eval_and_composite(apply_fn, center, ray, depth, bg_color, view_dep) -> Ren
     rgb_s, sigma_s = apply_fn(points, ray_unit)
     rgb, d, opacity, prob = composite_nerf(ray, rgb_s, sigma_s, depth, bg_color=bg_color)
     return RenderOut(rgb=rgb, depth=d, opacity=opacity, prob=prob)
+
+
+def _mlp_tile_dims(n_rays: int) -> Tuple[int, int, int]:
+    """(G1, G2, pad): non-pow2 x non-pow2 factorization of >= n_rays rays.
+
+    probe_r4_garf_views (TPU v5e, f32): the same per-step MLP work runs ~2x
+    faster when neither leading batch dim of the [G1, G2, N, C] activations
+    is a power of two — XLA:TPU layout assignment then picks one consistent
+    {2,3,1,0} activation layout for every dot and emits zero relayout
+    copies, vs mixed {3,2,1,0}/{2,3,1,0} with several full-activation
+    (~128 MB) copies per step at e.g. [8, 256, 128, 256]. G1=12 fixed; G2
+    bumped off powers of two. The tiling must happen BEFORE the big
+    activations are materialized (reshaping afterwards anchors the slow
+    layout via the producers — measured, see PERF_NOTES round 4).
+    """
+    g1 = 12
+    g2 = -(-n_rays // g1)
+    while g2 & (g2 - 1) == 0:  # pow2 (or 1): bump off the cliff
+        g2 += 1
+    return g1, g2, g1 * g2 - n_rays
+
+
+def _tile_rays(x: jnp.ndarray, g1: int, g2: int, pad: int) -> jnp.ndarray:
+    """[B, R, ...] -> [G1, G2, ...] (pad rays replicate ray 0, dropped by
+    _untile_rays)."""
+    flat = x.reshape((-1,) + x.shape[2:])
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[:1], (pad,) + flat.shape[1:])], 0)
+    return flat.reshape((g1, g2) + x.shape[2:])
+
+
+def _untile_rays(x: jnp.ndarray, B: int, R: int) -> jnp.ndarray:
+    flat = x.reshape((-1,) + x.shape[2:])
+    return flat[:B * R].reshape((B, R) + x.shape[2:])
 
 
 def render_image_mlp(

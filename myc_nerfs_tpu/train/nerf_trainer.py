@@ -73,6 +73,11 @@ class NeRFTrainConfig:
     # bf16 matmuls in the field MLP (params f32, gaussian/act heads f32) —
     # round-3 GARF throughput lever, quality-gated by scripts/garf_bf16.py
     use_bf16: bool = False
+    # re-tile the [n_images, rays_per_image] batch to a non-pow2 internal
+    # shape before sampling (render_rays_mlp): 2x step rate on TPU
+    # (probe_r4_garf_views layout cliff). Image-axis DP sets False — the
+    # tile reshape would cross the "data" shard boundary
+    mlp_tile: bool = True
 
 
 class NeRFTrainState(NamedTuple):
@@ -227,19 +232,21 @@ def _make_step_raw(cfg: NeRFTrainConfig, model: NeRFMLP,
             out_c = render_rays_mlp(make_apply(params["coarse"]), center, ray,
                                     k_depth, cfg.sample_intvs, cfg.depth_range,
                                     stratified=cfg.sample_stratified,
-                                    bg_color=bg, view_dep=cfg.view_dep)
+                                    bg_color=bg, view_dep=cfg.view_dep,
+                                    tile=cfg.mlp_tile)
             out_f = render_rays_mlp(make_apply(params["coarse"]), center, ray,
                                     k_depth, cfg.sample_intvs, cfg.depth_range,
                                     stratified=cfg.sample_stratified,
                                     bg_color=bg, view_dep=cfg.view_dep,
                                     fine_apply_fn=make_apply(params["fine"]),
-                                    n_samples_fine=cfg.sample_intvs_fine)
+                                    n_samples_fine=cfg.sample_intvs_fine,
+                                    tile=cfg.mlp_tile)
             loss = img2mse(out_c.rgb, target) + img2mse(out_f.rgb, target)
             return loss, mse2psnr(img2mse(out_f.rgb, target))
         out = render_rays_mlp(make_apply(params), center, ray, k_depth,
                               cfg.sample_intvs, cfg.depth_range,
                               stratified=cfg.sample_stratified, bg_color=bg,
-                              view_dep=cfg.view_dep)
+                              view_dep=cfg.view_dep, tile=cfg.mlp_tile)
         loss = img2mse(out.rgb, target)
         return loss, mse2psnr(loss)
 

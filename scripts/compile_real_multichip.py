@@ -1,0 +1,97 @@
+"""Round-4 gate (VERDICT r3 #7): compile + run the REAL-shape multichip
+program once on the virtual 8-device CPU mesh.
+
+The round-3 multichip evidence was all at toy grids (log2_hashmap 14,
+64-256 rays); nothing ruled out a GSPMD-partitioning surprise at the real
+shapes. This script builds the FULL L16F2 grid (2^19 params/level,
+brick3 layout via GroupTPModel — 4 hashed triple-groups sharded over the
+"model" axis) and runs ONE 16-step scan-block dispatch on a 4x2 dp x tp
+mesh with the production render budget (n_coarse 128). Slow on CPU is
+fine; the gate is compile + one finite step.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python scripts/compile_real_multichip.py
+(sets those itself if unset)
+"""
+import json
+import os
+import sys
+import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", "cpu")
+
+from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
+from myc_nerfs_tpu.parallel import mesh as mesh_lib, spmd
+from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+from myc_nerfs_tpu.train import ngp_trainer
+
+
+def main():
+    t0 = time.perf_counter()
+    mesh = mesh_lib.make_mesh(jax.devices()[:8], data=4, model=2)
+    # the real reference config: L16 F2 2^19/level, brick3 groups
+    # (Easyship.py:85-95 budgets; tiny ray count keeps CPU runtime sane —
+    # the grid/table shapes are what the gate is about)
+    model_cfg = NGPModelConfig(grid=HashGridConfig(), grid_impl="brick3")
+    model = spmd.GroupTPModel(model_cfg, mesh)
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=32)
+    tcfg = ngp_trainer.NGPTrainConfig(
+        n_rays_per_batch=64, target_batch_size=1 << 11,
+        n_grid_uniform=1 << 12, n_grid_nonuniform=0, update_den_freq=16)
+    trainer = ngp_trainer.NGPTrainer(model_cfg, rcfg, tcfg,
+                                     jax.random.PRNGKey(0), model=model)
+    occ_on = trainer.state.occ._replace(
+        bitfield=jnp.ones_like(trainer.state.occ.bitfield),
+        density_grid=jnp.full_like(trainer.state.occ.density_grid, 0.05),
+        mean_density=jnp.asarray(0.05))
+    state = spmd.place_ngp_state(mesh, trainer.state._replace(occ=occ_on),
+                                 table_mode="groups")
+    hashed = state.params["table"]["hashed"]
+    print(json.dumps({"event": "placed",
+                      "hashed_table_shape": list(hashed.shape),
+                      "hashed_spec": str(hashed.sharding.spec),
+                      "wall_s": round(time.perf_counter() - t0, 1)}),
+          flush=True)
+
+    S, n_rays = 16, tcfg.n_rays_per_batch
+    key = jax.random.PRNGKey(1)
+    theta = jax.random.uniform(key, (S * n_rays,)) * 6.28318
+    ro = jnp.stack([0.5 + 1.4 * jnp.cos(theta), 0.5 + 1.4 * jnp.sin(theta),
+                    jnp.full((S * n_rays,), 0.5)], -1)
+    rd = 0.5 - ro
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    tg = jax.random.uniform(jax.random.fold_in(key, 1), (S * n_rays, 3))
+    bg = jnp.ones((S, n_rays, 3))
+    ro, rd, tg = mesh_lib.shard_batch(
+        mesh, ro.reshape(S, n_rays, 3), rd.reshape(S, n_rays, 3),
+        tg.reshape(S, n_rays, 3), axis=1)
+
+    block = trainer._build_block()
+    t1 = time.perf_counter()
+    with mesh:
+        new_state, metrics, _ = block(state, ro, rd, tg, bg,
+                                      jax.random.PRNGKey(7))
+        loss = float(metrics["loss"])
+    print(json.dumps({
+        "event": "done", "mesh": dict(mesh.shape), "levels": 16,
+        "log2_hashmap": 19, "grid_impl": "brick3(GroupTP)",
+        "scan_steps": S, "loss": loss,
+        "finite": bool(np.isfinite(loss)),
+        "compile_plus_run_s": round(time.perf_counter() - t1, 1)}),
+        flush=True)
+    assert np.isfinite(loss)
+
+
+if __name__ == "__main__":
+    main()

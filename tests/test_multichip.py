@@ -121,6 +121,79 @@ class TestLevelTP:
                                        atol=1e-5)
 
 
+class TestGroupTP:
+    """Brick3 GROUP-axis table sharding (VERDICT r3 weak #5): multi-chip TP
+    trains the same level-tripled row layout as the single-chip optimum."""
+
+    def test_group_tp_encode_matches_brick3(self, devices):
+        """Same init key: the group-sharded encode must equal the plain
+        single-chip brick3 paired_encode, forward and table-gradient."""
+        from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModel, \
+            NGPModelConfig
+
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        cfg = NGPModelConfig(grid=HashGridConfig(
+            n_levels=7, log2_hashmap_size=14, desired_resolution=512.0),
+            grid_impl="brick3")  # 1 dense + 6 hashed -> 2 triple groups
+        plain = NGPModel(cfg)
+        tp = spmd.GroupTPModel(cfg, m)
+        key = jax.random.PRNGKey(4)
+        p_plain = plain.init(key)
+        p_tp = tp.init(key)
+        pos = jax.random.uniform(jax.random.PRNGKey(5), (64, 3))
+        dirs = jax.random.uniform(jax.random.PRNGKey(6), (64, 3))
+        with m:
+            out_tp = tp.apply(p_tp, pos, dirs)
+        out_plain = plain.apply(p_plain, pos, dirs)
+        np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_plain),
+                                   atol=1e-5)
+
+        def loss_plain(p):
+            return plain.apply(p, pos, dirs).sum()
+
+        def loss_tp(p):
+            return tp.apply(p, pos, dirs).sum()
+
+        g_plain = jax.grad(loss_plain)(p_plain)["table"]
+        with m:
+            g_tp = jax.grad(loss_tp)(p_tp)["table"]
+        nd = len(tp.dense_groups)
+        for i in range(nd):
+            np.testing.assert_allclose(np.asarray(g_tp["dense"][i]),
+                                       np.asarray(g_plain[i]), atol=1e-5)
+        for gi, members in enumerate(tp.hashed_groups):
+            w = len(members) * cfg.grid.n_features * 128
+            np.testing.assert_allclose(
+                np.asarray(g_tp["hashed"][gi][:, :w]),
+                np.asarray(g_plain[nd + gi]), atol=1e-5)
+            # pad columns (if any) must receive zero gradient
+            np.testing.assert_allclose(
+                np.asarray(g_tp["hashed"][gi][:, w:]), 0.0, atol=0)
+
+    def test_group_tp_block_runs(self, devices):
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        state, metrics = spmd.multichip_ngp_train_block(
+            m, n_rays=256, n_steps=2, table_mode="groups")
+        assert np.isfinite(float(metrics["loss"]))
+        hashed = state.params["table"]["hashed"]
+        assert hashed.ndim == 3
+        assert hashed.sharding.spec[0] == "model"
+
+    def test_group_tp_grad_parity_vs_replicated(self, devices):
+        """4x2 group-sharded scan block == 8x1 program after 3 Adam steps."""
+        m_tp = mesh_lib.make_mesh(devices, data=4, model=2)
+        m_rep = mesh_lib.make_mesh(devices, data=8, model=1)
+        s_tp, met_tp = spmd.multichip_ngp_train_block(
+            m_tp, n_rays=256, n_steps=3, table_mode="groups", seed=0)
+        s_rep, met_rep = spmd.multichip_ngp_train_block(
+            m_rep, n_rays=256, n_steps=3, table_mode="groups", seed=0)
+        np.testing.assert_allclose(float(met_tp["loss"]),
+                                   float(met_rep["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s_tp.params["table"]["hashed"]),
+            np.asarray(s_rep.params["table"]["hashed"]), atol=1e-5)
+
+
 class TestFamilyDP:
     """DP coverage beyond the NGP stack (SURVEY §2.5: DP is first-class for
     every family; the reference is single-GPU everywhere)."""
