@@ -204,7 +204,10 @@ def _flagship_train_subprocess():
             partial = partial.decode("utf-8", "replace")
         for line in partial.strip().splitlines()[::-1]:
             if line.startswith("{"):
-                res = json.loads(line)
+                try:
+                    res = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # line truncated mid-write by the timeout kill
                 res["k64_remat_error"] = str(e)[:200]
                 return res
         err = str(e)[:200]

@@ -37,10 +37,18 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         "pos_encoder", {"type": "HashEncoder"}))
     enc_cfg.update(cfg.get("hash_grid_overrides", {}))
     grid = build_from_cfg(enc_cfg, ENCODERS, aabb_scale=aabb_scale)
+    dir_cfg = cfg.get("encoder", {}).get("dir_encoder")
+    dir_enc = build_from_cfg(dict(dir_cfg), ENCODERS) if dir_cfg else None
     mcfg = build_from_cfg(dict(cfg.get("model", {"type": "NGPNetworks"})),
-                          NETWORKS, grid=grid,
+                          NETWORKS, grid=grid, dir_encoder=dir_enc,
                           use_bf16=cfg.get("fp16", False),
                           grid_impl=cfg.get("grid_impl", "brick3"))
+    # OriginNeRFNetworks (projects/nerf) pairs a frequency-encoded MLP field
+    # with the same sampler pipeline (nerf_base.py:15-17) — the trainer takes
+    # it as a model override on top of the shared Runner machinery
+    from ..models.ori_nerf import OriginNeRFConfig, OriginNeRFModel
+
+    model = OriginNeRFModel(mcfg) if isinstance(mcfg, OriginNeRFConfig) else None
     rcfg = NGPRenderConfig(
         aabb_scale=aabb_scale,
         n_coarse=cfg.get("n_coarse", 512),
@@ -72,7 +80,8 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         n_grid_uniform=cfg.get("n_grid_uniform", 1 << 16),
         n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, key, camera_c2w=camera_c2w,
-                         focal=focal, image_wh=image_wh, loss_fn=loss_fn)
+                         focal=focal, image_wh=image_wh, loss_fn=loss_fn,
+                         model=model)
     return trainer, tcfg
 
 
@@ -260,7 +269,9 @@ def main(argv: Optional[list] = None):
         else:
             try:
                 _, _, ev_intrs = load_eval_views(cfg, data, H, W)
-            except (FileNotFoundError, AssertionError):
+            except Exception as e:  # noqa: BLE001 - optional probe only
+                log.info(f"eval-intrinsics probe failed ({e!r}); "
+                         "falling back to synthetic intrinsics")
                 ev_intrs = []
             intr = (jnp.asarray(ev_intrs[0]) if len(ev_intrs) else jnp.asarray(
                 [[W * 0.6, 0, W / 2], [0, W * 0.6, H / 2], [0, 0, 1.0]]))

@@ -57,6 +57,23 @@ def build_ngp_networks(grid: Optional[HashGridConfig] = None,
                           rgb_n_neurons=rgb_n_neurons)
 
 
+@NETWORKS.register_module("OriginNeRFNetworks")
+def build_origin_nerf_networks(grid=None, dir_encoder=None,
+                               use_bf16: bool = False, D: int = 8,
+                               W: int = 256, skips=(4,), **_ignored):
+    """OriginNeRFNetworks (ori_nerf_network.py:10-77): classic 8x256 NeRF MLP
+    behind the DensityGridSampler pipeline (projects/nerf/configs/
+    nerf_base.py:15-17). ``grid``/``dir_encoder`` are the built pos/dir
+    FrequencyEncoder configs ({'multires': L} dicts)."""
+    from ..models.ori_nerf import OriginNeRFConfig
+
+    multires_pos = grid.get("multires", 10) if isinstance(grid, dict) else 10
+    multires_dir = (dir_encoder or {}).get("multires", 4)
+    return OriginNeRFConfig(D=D, W=W, skips=tuple(skips),
+                            multires_pos=multires_pos,
+                            multires_dir=multires_dir, use_bf16=use_bf16)
+
+
 @SAMPLERS.register_module("DensityGridSampler")
 def build_density_grid_sampler(update_den_freq: int = 16, **kw) -> dict:
     """DensityGridSampler knobs consumed by NGPTrainConfig

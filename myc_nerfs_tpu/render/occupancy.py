@@ -213,7 +213,11 @@ def make_density_grid_update(cfg: OccupancyConfig, density_raw_fn: Callable,
             parts.append((pos_n, idx_n))
         pos = jnp.concatenate([p for p, _ in parts])
         idx = jnp.concatenate([i for _, i in parts])
-        warped = (pos - lo) / (hi - lo)
+        # Clip like the render path (ngp_render.py:188): cascade-level
+        # positions span 2^max_cascade, which exceeds the aabb for
+        # non-power-of-two aabb_scale; unclipped negatives would feed
+        # float->uint32 hash casts with backend-dependent results.
+        warped = jnp.clip((pos - lo) / (hi - lo), 0.0, 1.0)
         raw = density_raw_fn(params, warped)[..., 0]
         tmp = jnp.zeros_like(state.density_grid)
         tmp = splat_max(cfg, tmp, idx, raw)
