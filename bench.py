@@ -252,7 +252,12 @@ def main():
 
     res = measure_ngp_train("brick3")
     occ_cfg, occ_state = res["occ"]
-    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=32)
+    # render profile (round 4, scripts/probe_r4_render.py --eps): K=20
+    # samples with a 1e-2 render-time transmittance cutoff keeps dt fine
+    # over the shortened live arc — val PSNR within 0.02 dB of the K=32
+    # eps=1e-4 baseline on the 256^2 quality scene, 1.51x the rays/s
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=20,
+                           early_stop_eps=1e-2)
     rays_o, rays_d = make_rays(RENDER_RAYS)
     bg = jnp.ones((3,))
 

@@ -110,15 +110,42 @@ class OriginNeRFModel:
     def init(self, key: jax.Array):
         return {"mlp": self.net.init(key, jnp.zeros((1, 3)), jnp.zeros((1, 3)))}
 
+    # Leading-dim split for the MLP batch. XLA:TPU runs one giant 2-D dot
+    # [262144, 256] x [256, 256] at ~21 TF/s but the same samples as a 3-D
+    # batch [32, 8192, 256] at ~64 TF/s fwd (23.1 -> 12.4 ms fwd+bwd at the
+    # train shape) — measured scripts/probe_r4_flagship_shape.py, v5e bf16;
+    # split size is insensitive across 8/32/128.
+    MLP_TILE = 32
+
     def apply(self, params, positions: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+        fused = self.cfg.use_fused and not self.cfg.skips
+
         def run(p, x, d):
-            if self.cfg.use_fused and not self.cfg.skips:
+            if fused:
                 return self._apply_fused(p, x, d)
             return self.net.apply(p["mlp"], x, d * 2.0 - 1.0).astype(jnp.float32)
 
         if self.cfg.remat:
             run = jax.checkpoint(run)
-        return run(params, positions, dirs)
+        if fused:
+            # the Pallas kernel does its own row tiling and wants [M, C]
+            return run(params, positions, dirs)
+        return self._tiled(lambda x, d: run(params, x, d), positions, dirs, 4)
+
+    def _tiled(self, fn, positions, dirs, out_width: int) -> jnp.ndarray:
+        """Run fn on a [MLP_TILE, m, 3] reshape of the flattened samples."""
+        shape = positions.shape[:-1]
+        x = positions.reshape(-1, 3)
+        d = dirs.reshape(-1, 3)
+        M = x.shape[0]
+        b = self.MLP_TILE
+        m = -(-M // b)
+        pad = b * m - M
+        if pad:
+            x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, 3))])
+            d = jnp.concatenate([d, jnp.broadcast_to(d[:1], (pad, 3))])
+        out = fn(x.reshape(b, m, 3), d.reshape(b, m, 3))
+        return out.reshape(-1, out_width)[:M].reshape(shape + (out_width,))
 
     def _apply_fused(self, params, positions, dirs) -> jnp.ndarray:
         """Backbone via the Pallas fused kernel (ops/pallas/fused_mlp.py) —
@@ -159,5 +186,9 @@ class OriginNeRFModel:
         return jnp.concatenate([rgb, alpha], -1).astype(jnp.float32)
 
     def density_raw(self, params, positions: jnp.ndarray) -> jnp.ndarray:
-        return self.net.apply(params["mlp"], positions,
-                              method=OriginNeRFNetwork.density).astype(jnp.float32)
+        def run(x, _):
+            return self.net.apply(params["mlp"], x,
+                                  method=OriginNeRFNetwork.density
+                                  ).astype(jnp.float32)
+
+        return self._tiled(run, positions, positions, 1)

@@ -1,0 +1,121 @@
+"""Round-4 render-budget sweep (VERDICT r4 #1): fewer samples/probes at
+matched quality.
+
+Hash render sits at the wide-row gather bandwidth wall with encode = 60%
+of the dispatch (PERF_NOTES §7c), so the lever is bytes = samples x levels:
+sweep render-time K (n_samples) and n_coarse and report BOTH
+  (a) bench-style throughput on the occupancy ball (what bench.py reports),
+  (b) val PSNR of a real trained model (quality_scale brick3 checkpoint)
+      rendered at that budget — the 0.1 dB gate vs the (128, 32) shipped
+      config.
+
+Usage: python scripts/probe_r4_render.py --ckpt /tmp/r4_brick3_detail.ckpt
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import RENDER_RAYS, make_rays, measure_render, occupancy_ball
+from myc_nerfs_tpu.core.checkpoint import restore_checkpoint
+from myc_nerfs_tpu.data.synthetic import make_detail_scene, SyntheticScene
+from myc_nerfs_tpu.geom import rays as rays_lib
+from myc_nerfs_tpu.models import ngp
+from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig, render_rays_ngp
+from myc_nerfs_tpu.train.ngp_trainer import NGPTrainConfig, NGPTrainer
+from myc_nerfs_tpu.utils.metrics import psnr
+
+SCALE, OFF = 0.33, 0.5
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def load_scene(views=36, size=256):
+    cache = f"/tmp/detail_scene_detail_{views}_{size}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return SyntheticScene(images=jnp.asarray(z["images"]),
+                              poses=jnp.asarray(z["poses"]),
+                              intr=jnp.asarray(z["intr"]), H=size, W=size,
+                              depth_range=tuple(z["depth_range"]))
+    return make_detail_scene(n_views=views, H=size, W=size)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/r4_brick3_detail.ckpt")
+    ap.add_argument("--views", type=int, default=36)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--eps", action="store_true",
+                    help="second-pass grid: harder trunc eps at lower K")
+    args = ap.parse_args()
+
+    # --- trained model for the quality side
+    mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(), use_bf16=True,
+                              grid_impl="brick3")
+    rcfg0 = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=64,
+                            n_compact=32, near_distance=0.05)
+    tcfg = NGPTrainConfig(n_rays_per_batch=8192)
+    trainer = NGPTrainer(mcfg, rcfg0, tcfg, jax.random.PRNGKey(0))
+    trainer.state, meta = restore_checkpoint(args.ckpt, trainer.state)
+    emit(event="restored", step=int(meta.get("step", -1)))
+    scene = load_scene(args.views, args.size)
+    H = W = args.size
+    val_ids = [0, args.views // 3, 2 * args.views // 3]
+
+    # --- throughput side: bench-identical setup
+    occ_cfg, occ_state = occupancy_ball()
+    bench_model = ngp.NGPModel(mcfg)
+    bparams = bench_model.init(jax.random.PRNGKey(0))
+    rays_o, rays_d = make_rays(RENDER_RAYS)
+    bg = jnp.ones((3,))
+
+    grid = [(128, 32, 1e-4), (128, 16, 1e-4), (96, 16, 1e-4), (64, 16, 1e-4),
+            (128, 12, 1e-4), (64, 12, 1e-4), (128, 8, 1e-4), (64, 8, 1e-4)]
+    if "--eps" in sys.argv:
+        # round-4 second pass: shrink the live arc with a harder render-time
+        # transmittance cutoff so dt stays fine at lower K (the reference's
+        # inference early-exit, calc_rgb.h, is an output-side analog)
+        grid = [(128, 32, 1e-4), (128, 24, 1e-4), (128, 24, 3e-3),
+                (128, 24, 1e-2), (128, 16, 3e-3), (128, 16, 1e-2),
+                (128, 16, 3e-2), (96, 24, 1e-2), (128, 20, 1e-2)]
+    base_val = None
+    for n_coarse, K, eps in grid:
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse, n_samples=K,
+                               early_stop_eps=eps)
+        rfn = jax.jit(lambda p, o, d, rc=rcfg: render_rays_ngp(
+            occ_cfg, rc, bench_model.apply, p, occ_state, o, d, bg).rgb)
+        rate = measure_render(rfn, bparams, rays_o, rays_d)
+
+        # quality: render the 3 held-out views at this budget
+        qcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse, n_samples=K,
+                               early_stop_eps=eps, near_distance=0.05)
+        qtrainer = NGPTrainer(mcfg, qcfg, tcfg, jax.random.PRNGKey(0))
+        qtrainer.state = trainer.state
+        ps = []
+        for vi in val_ids:
+            pose = scene.poses[vi]
+            R, t = pose[:, :3], pose[:, 3]
+            c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], 1)
+            img, _ = qtrainer.render_image(c2w, scene.intr[vi], H, W,
+                                           chunk=8192)
+            ps.append(float(psnr(jnp.clip(img, 0, 1), scene.images[vi])))
+        val = float(np.mean(ps))
+        if base_val is None:
+            base_val = val
+        emit(n_coarse=n_coarse, K=K, eps=eps,
+             render_rays_per_s=round(rate, 1),
+             val_psnr=round(val, 3), val_delta=round(val - base_val, 3))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,12 +73,66 @@ ms = marginal(scanned(lambda c, i: model.apply(
     params, pos + c * 1e-9, dirs).astype(jnp.float32).sum() + c))
 emit("mlp_fwd", ms=round(ms, 2), n=N)
 
-# 2. MLP fwd+bwd
+# 1b. MLP fwd/fwd+bwd shape sweep: the GARF round-4 finding (PERF_NOTES §9)
+# says XLA:TPU layout choice depends on leading batch dims being pow2 —
+# check whether the flagship's flat [N, C] activations also leave time on
+# the table vs non-pow2 tilings of the same samples
+for tag, shape in [("flat", (N, 3)), ("tile12x", (12, -(-N // 12), 3)),
+                   ("tile4d", (12, -(-N // (12 * K)), K, 3))]:
+    n_pad = int(np.prod(shape[:-1]))
+    p2 = jnp.concatenate([pos, pos[:n_pad - N]]).reshape(shape)
+    d2 = jnp.concatenate([dirs, dirs[:n_pad - N]]).reshape(shape)
+
+    def fb_shape(c, i, p2=p2, d2=d2):
+        def loss(p):
+            return (model.apply(p, p2 + c * 1e-9, d2)
+                    .astype(jnp.float32) ** 2).sum()
+        g = jax.grad(loss)(params)
+        return sum(l.astype(jnp.float32).sum()
+                   for l in jax.tree_util.tree_leaves(g)) + c
+
+    ms_f = marginal(scanned(lambda c, i, p2=p2, d2=d2: model.apply(
+        params, p2 + c * 1e-9, d2).astype(jnp.float32).sum() + c))
+    ms_fb = marginal(scanned(fb_shape))
+    emit("mlp_shape", shape=tag, dims=list(shape[:-1]),
+         fwd_ms=round(ms_f, 2), fwd_bwd_ms=round(ms_fb, 2))
+
+# 1c. march-only (fused marcher at the step's ray count; no MLP)
+from myc_nerfs_tpu.render.ngp_render import march_rays_fused  # noqa: E402
+
+occ_cfg0 = occ.OccupancyConfig()
+st0 = occ.init_occupancy(occ_cfg0)
+centers0 = occ.cell_centers(occ_cfg0, 0)
+ball0 = jnp.linalg.norm(centers0 - 0.5, axis=-1) < 0.3
+grid0 = jnp.where(ball0, 0.05, 0.0)
+st0 = st0._replace(bitfield=st0.bitfield.at[0].set(ball0),
+                   density_grid=st0.density_grid.at[0].set(grid0),
+                   mean_density=jnp.maximum(grid0, 0.0).mean())
+rcfg0 = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=K)
+theta0 = jax.random.uniform(key, (RAYS,)) * 6.28
+o0 = jnp.stack([0.5 + 1.4 * jnp.cos(theta0), 0.5 + 1.4 * jnp.sin(theta0),
+                jnp.full((RAYS,), 0.5)], -1)
+d0 = 0.5 - o0
+d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+
+ms = marginal(scanned(lambda c, i: march_rays_fused(
+    occ_cfg0, rcfg0, st0, o0 + c * 1e-12, d0,
+    jax.random.PRNGKey(0)).positions.sum() + c))
+emit("march_only", ms=round(ms, 2), rays=RAYS, n_coarse=128)
+ms = marginal(scanned(lambda c, i: march_rays_fused(
+    occ_cfg0, NGPRenderConfig(aabb_scale=1, n_coarse=64, n_samples=K),
+    st0, o0 + c * 1e-12, d0, jax.random.PRNGKey(0)).positions.sum() + c))
+emit("march_only", ms=round(ms, 2), rays=RAYS, n_coarse=64)
+
+# 2. MLP fwd+bwd (squared loss + all-leaf readout: a sum() loss makes
+# head grads constant and reading one leaf lets XLA DCE the backward)
 def fb(c, i):
     def loss(p):
-        return model.apply(p, pos + c * 1e-9, dirs).astype(jnp.float32).sum()
+        return (model.apply(p, pos + c * 1e-9, dirs)
+                .astype(jnp.float32) ** 2).sum()
     g = jax.grad(loss)(params)
-    return jax.tree_util.tree_leaves(g)[0].astype(jnp.float32).sum() + c
+    return sum(l.astype(jnp.float32).sum()
+               for l in jax.tree_util.tree_leaves(g)) + c
 
 ms = marginal(scanned(fb))
 # flops: per sample fwd ~ (3->256 + 7x256x256 + heads) x2 ; x3 for fwd+bwd
