@@ -222,9 +222,13 @@ def flagship_train_main():
     # K=32 is the round-1/2 comparable; K=64 previously OOMed HBM on the
     # 8x256 backward activations — jax.checkpoint (remat) on the backbone
     # lifts that (VERDICT r2 #5), measured here as a separate field.
+    # steps_per_block=16 is the REFERENCE grid-update cadence
+    # (update_den_freq, density_grid_sampler.py:251-260); rounds 2-3 used 4
+    # to dodge a remote-compile limit that no longer exists (PERF_NOTES
+    # §10) and paid ~2 extra dispatch floors per 4 steps for it.
     out = {}
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
-    res = measure_ngp_train(model=flagship, steps_per_block=4, n_samples=32)
+    res = measure_ngp_train(model=flagship, steps_per_block=16, n_samples=32)
     out.update({"train_rays_per_s": res["train_rays_per_s"],
                 "iters_per_s": res["iters_per_s"],
                 "rays_per_batch": res["rays_per_batch"]})
@@ -235,7 +239,7 @@ def flagship_train_main():
     try:
         remat = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
                                                  remat=True))
-        res64 = measure_ngp_train(model=remat, steps_per_block=4,
+        res64 = measure_ngp_train(model=remat, steps_per_block=16,
                                   n_samples=64)
         out.update({"train_rays_per_s_k64_remat": res64["train_rays_per_s"],
                     "iters_per_s_k64_remat": res64["iters_per_s"],
