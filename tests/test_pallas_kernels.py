@@ -110,3 +110,29 @@ class TestFusedOriginNeRF:
         total = sum(float(jnp.abs(x).sum())
                     for x in jax.tree_util.tree_leaves(g))
         assert total > 0 and np.isfinite(total)
+
+
+class TestOriginNeRFTiledApply:
+    """The internal [32, m, 3] MLP batch split (PERF_NOTES §9c) must be
+    numerically transparent for any sample count and leading shape."""
+
+    def test_tiled_apply_matches_direct_net(self):
+        from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
+                                                   OriginNeRFModel)
+
+        m = OriginNeRFModel(OriginNeRFConfig(D=2, W=32))
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (100, 3))
+        d = jax.random.uniform(jax.random.PRNGKey(2), (100, 3))
+        out = m.apply(p, x, d)                       # 100 % 32 != 0 -> pad
+        raw = m.net.apply(p["mlp"], x, d * 2.0 - 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(raw),
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m.density_raw(p, x)),
+            np.asarray(m.net.apply(p["mlp"], x, method=type(m.net).density)),
+            atol=1e-6)
+        out3 = m.apply(p, x.reshape(4, 25, 3), d.reshape(4, 25, 3))
+        assert out3.shape == (4, 25, 4)
+        np.testing.assert_allclose(np.asarray(out3.reshape(100, 4)),
+                                   np.asarray(out), atol=1e-6)

@@ -185,3 +185,49 @@ class TestSH:
         out = sh.eval_sh(2, coeffs, d)
         ref = (np.asarray(coeffs) * np.asarray(sh.eval_sh_bases(2, d))[:, None, :]).sum(-1)
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+class TestMLPTiling:
+    """Round-4 ray re-tiling (PERF_NOTES §9): the [B, R] split is internal;
+    outputs must be exactly the un-tiled math."""
+
+    def test_tile_dims_non_pow2(self):
+        from myc_nerfs_tpu.render.mlp_renderer import _mlp_tile_dims
+
+        for n in [1, 7, 128, 2040, 2048, 2052, 65536]:
+            g1, g2, pad = _mlp_tile_dims(n)
+            assert g1 * g2 == n + pad and pad >= 0
+            assert g1 & (g1 - 1) != 0     # 12
+            assert g2 & (g2 - 1) != 0 or g2 == 0
+
+    def test_tile_untile_roundtrip(self):
+        from myc_nerfs_tpu.render.mlp_renderer import (_mlp_tile_dims,
+                                                       _tile_rays,
+                                                       _untile_rays)
+
+        x = jnp.arange(8 * 16 * 3, dtype=jnp.float32).reshape(8, 16, 3)
+        g1, g2, pad = _mlp_tile_dims(8 * 16)
+        t = _tile_rays(x, g1, g2, pad)
+        assert t.shape == (g1, g2, 3)
+        np.testing.assert_array_equal(np.asarray(_untile_rays(t, 8, 16)),
+                                      np.asarray(x))
+
+    def test_render_rays_tiled_matches_untiled(self):
+        from myc_nerfs_tpu.render.mlp_renderer import render_rays_mlp
+
+        def apply_fn(points, ray_unit):
+            rgb = jnp.tanh(points * 3.0)
+            sigma = jnp.abs(points.sum(-1))
+            return rgb, sigma
+
+        key = jax.random.PRNGKey(0)
+        center = jax.random.uniform(key, (4, 8, 3))
+        ray = jax.random.normal(jax.random.fold_in(key, 1), (4, 8, 3))
+        a = render_rays_mlp(apply_fn, center, ray, None, 16, (1.0, 3.0),
+                            stratified=False, tile=True)
+        b = render_rays_mlp(apply_fn, center, ray, None, 16, (1.0, 3.0),
+                            stratified=False, tile=False)
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   atol=1e-6)
