@@ -173,6 +173,47 @@ def make_detail_scene(n_views: int = 36, H: int = 256, W: int = 256,
                           depth_range=depth_range)
 
 
+def make_cascade_scene(n_views: int = 72, H: int = 256, W: int = 256,
+                       n_samples: int = 512,
+                       chunk_rows: int = 32) -> SyntheticScene:
+    """Dense-coverage cascade scene (VERDICT r4 #5): content inside AND
+    outside the unit AABB (detail sphere + torus at world radius 1.9 ->
+    0.63 box units off-center after the 0.33 NGP warp), viewed from FOUR
+    rings — two elevations at EACH of two radii — so both the in-box and
+    out-of-box content get real parallax coverage. 72 views = 4 rings x 18.
+    Train with aabb_scale=4 like Car (configs/Easyship.py:39-41,
+    projects/ngp/configs/Car.py).
+    """
+    rings = [(2.6, 0.15), (2.6, 0.55), (4.2, 0.15), (4.2, 0.55)]
+    per = n_views // len(rings)
+    assert per * len(rings) == n_views, "n_views must divide by 4 rings"
+    poses = jnp.concatenate(
+        [orbit_poses(per, radius=r, elevation=e, phase=i * 0.45)
+         for i, (r, e) in enumerate(rings)])
+    # wide FOV so the near ring sees past the torus; far rings see it whole
+    f = 1.0 * W
+    intr = jnp.broadcast_to(
+        jnp.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]),
+        (n_views, 3, 3))
+    depth_range = (0.6, 6.6)  # radius-4.2 cameras: torus far side at ~6.3
+    field = lambda p: analytic_field_detail(p, outer=True)  # noqa: E731
+
+    def render_strip(pose, intr_i, row0):
+        intr_s = intr_i.at[1, 2].add(-row0)
+        return render_analytic(pose, intr_s, chunk_rows, W, depth_range,
+                               n_samples=n_samples, field=field)
+
+    render_strip = jax.jit(render_strip)
+    images = []
+    for i in range(n_views):
+        strips = [render_strip(poses[i], intr[i], jnp.asarray(float(r0)))
+                  for r0 in range(0, H, chunk_rows)]
+        images.append(jnp.concatenate(strips, axis=0)[:H])
+    images = jnp.stack(images)
+    return SyntheticScene(images=images, poses=poses, intr=intr, H=H, W=W,
+                          depth_range=depth_range)
+
+
 def make_scene(n_views: int = 6, H: int = 32, W: int = 32,
                focal_factor: float = 1.2, depth_range=(1.5, 4.5),
                textured: bool = False) -> SyntheticScene:

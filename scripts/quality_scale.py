@@ -44,7 +44,8 @@ def main():
     ap.add_argument("--variant", default="brick2",
                     choices=["brick", "brick2", "brick3", "hash"])
     ap.add_argument("--steps", type=int, default=6000)
-    ap.add_argument("--scene", default="detail", choices=["detail", "outer"])
+    ap.add_argument("--scene", default="detail",
+                    choices=["detail", "outer", "cascade"])
     ap.add_argument("--aabb_scale", type=int, default=1)
     ap.add_argument("--views", type=int, default=36)
     ap.add_argument("--size", type=int, default=256)
@@ -59,6 +60,9 @@ def main():
     ap.add_argument("--ckpt", default="",
                     help="checkpoint path for kill-and-resume runs")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--render_video", default="",
+                    help="after training, render a spherical-path video to "
+                         "this path (Runner.render parity)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (smoke tests; overrides the axon pin)")
     ap.add_argument("--no_scan", action="store_true",
@@ -82,15 +86,27 @@ def main():
                                H=args.size, W=args.size,
                                depth_range=tuple(z["depth_range"]))
     else:
-        scene = make_detail_scene(n_views=args.views, H=args.size,
-                                  W=args.size,
-                                  outer=(args.scene == "outer"))
+        if args.scene == "cascade":
+            from myc_nerfs_tpu.data.synthetic import make_cascade_scene
+
+            scene = make_cascade_scene(n_views=args.views, H=args.size,
+                                       W=args.size)
+        else:
+            scene = make_detail_scene(n_views=args.views, H=args.size,
+                                      W=args.size,
+                                      outer=(args.scene == "outer"))
         np.savez(cache, images=np.asarray(scene.images),
                  poses=np.asarray(scene.poses),
                  intr=np.asarray(scene.intr),
                  depth_range=np.asarray(scene.depth_range))
     H = W = args.size
-    val_ids = [0, args.views // 3, 2 * args.views // 3]
+    if args.scene == "cascade":
+        # one held-out view per ring (4 rings x views/4 each,
+        # make_cascade_scene); offset 1 keeps ring phase-0 views in train
+        per = args.views // 4
+        val_ids = [1, per + 1, 2 * per + 1, 3 * per + 1]
+    else:
+        val_ids = [0, args.views // 3, 2 * args.views // 3]
     train_ids = [i for i in range(args.views) if i not in val_ids]
     idx = jnp.asarray(train_ids)
     c, r = rays_lib.get_center_and_ray(scene.poses[idx], scene.intr[idx],
@@ -131,7 +147,8 @@ def main():
         print(json.dumps({"event": "resumed", "step": start_step}),
               flush=True)
 
-    def val_psnr(n_views_val=3):
+    def val_psnr(n_views_val=None):
+        n_views_val = n_views_val or len(val_ids)
         ps = []
         for vi in val_ids[:n_views_val]:
             pose = scene.poses[vi]
@@ -200,6 +217,24 @@ def main():
         "wall_s": round(wall, 1),
         "krays_s": round(args.batch * (it - start_step) / max(wall, 1e-9)
                          / 1e3, 1)}), flush=True)
+
+    if args.render_video:
+        # render task after training (Runner.render parity: spherical path,
+        # runner.py:105-125) — part of the reference-budget gate (r4 #3a)
+        from myc_nerfs_tpu.evaluation.visualization import write_video
+        from myc_nerfs_tpu.geom.camera_path import path_spherical
+
+        frames = []
+        for c2w in path_spherical(8):
+            rgb, _ = trainer.render_image(jnp.asarray(c2w), scene.intr[0],
+                                          H, W, chunk=8192)
+            frames.append(np.asarray(jnp.clip(rgb, 0, 1)))
+        out = write_video(args.render_video, frames, fps=8)
+        print(json.dumps({"event": "render_video",
+                          "out": out or args.render_video,
+                          "frames": len(frames),
+                          "finite": bool(np.isfinite(frames[-1]).all())}),
+              flush=True)
 
 
 if __name__ == "__main__":
