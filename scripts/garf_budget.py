@@ -45,6 +45,17 @@ def pose_error(poses, poses_gt):
     return float(jnp.rad2deg(err.R.mean())), float(err.t.mean())
 
 
+def pose_error_full(poses, poses_gt):
+    """(mean, median, max) rotation deg + mean trans — a single outlier
+    camera dominates the mean through the Procrustes prealign, so the
+    median tells whether the BULK of cameras improved."""
+    aligned, _ = pose_eval.prealign_cameras(poses, poses_gt)
+    err = pose_eval.evaluate_camera_alignment(aligned, poses_gt)
+    r = jnp.rad2deg(err.R)
+    return (float(r.mean()), float(jnp.median(r)), float(r.max()),
+            float(err.t.mean()))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200000)
@@ -52,13 +63,21 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--noise", type=float, default=0.06)
     ap.add_argument("--log_every", type=int, default=10000)
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint path (saved each log; --resume "
+                         "restarts after a tunnel wedge)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--rand_rays", type=int, default=2048,
+                    help="reference: Easyship.yaml:21")
+    ap.add_argument("--samples", type=int, default=128)
     args = ap.parse_args()
 
     scene = make_scene(n_views=args.views, H=args.size, W=args.size,
                        textured=True)
     cfg = nt.NeRFTrainConfig(
         model="garf", refine_pose=True, camera_noise=args.noise,
-        rand_rays=2048, sample_intvs=128, max_iter=args.steps,
+        rand_rays=args.rand_rays, sample_intvs=args.samples,
+        max_iter=args.steps,
         # Easyship.yaml:60 — correction starts at iter 80k of 200k
         start_pose_correct_iter=int(args.steps * 0.4))
     model, state = nt.init_state(cfg, jax.random.PRNGKey(0),
@@ -74,12 +93,20 @@ def main():
     block = nt.make_train_block(cfg, model, scene.images, scene.poses,
                                 scene.intr, steps_per_block=16)
     key = jax.random.PRNGKey(2)
-    state, m = block(state, jax.random.fold_in(key, 0))
+    it = 0
+    if args.resume and args.ckpt and os.path.exists(args.ckpt):
+        from myc_nerfs_tpu.core.checkpoint import restore_checkpoint
+
+        state, meta = restore_checkpoint(args.ckpt, state)
+        it = int(meta.get("step", 0))
+        emit(event="garf_budget_resumed", step=it)
+    state, m = block(state, jax.random.fold_in(key, it // 16))
     _ = float(m["psnr"])
+    it += 16
+    it0 = it
     wall0 = time.perf_counter()
-    it = 16
-    next_log = args.log_every
-    i = 1
+    next_log = (it // args.log_every + 1) * args.log_every
+    i = it // 16
     while it < args.steps:
         state, m = block(state, jax.random.fold_in(key, i))
         it += 16
@@ -87,13 +114,19 @@ def main():
         if it >= next_log or it >= args.steps:
             p = float(m["psnr"])
             refined = nt.compose_refined_pose(cfg, state, scene.poses)
-            r1, t1 = pose_error(refined, scene.poses)
+            r1, rmed, rmax, t1 = pose_error_full(refined, scene.poses)
             emit(event="garf_budget_log", step=it,
                  train_psnr=round(p, 2), rot_err_deg=round(r1, 3),
+                 rot_err_med=round(rmed, 3), rot_err_max=round(rmax, 3),
                  trans_err=round(t1, 4),
-                 it_s=round(it / (time.perf_counter() - wall0), 1),
+                 it_s=round(16 * (i - it0 // 16)
+                            / (time.perf_counter() - wall0), 1),
                  wall_s=round(time.perf_counter() - wall0, 1))
             next_log += args.log_every
+            if args.ckpt:
+                from myc_nerfs_tpu.core.checkpoint import save_checkpoint
+
+                save_checkpoint(args.ckpt, state, step=it)
     refined = nt.compose_refined_pose(cfg, state, scene.poses)
     r1, t1 = pose_error(refined, scene.poses)
     emit(event="garf_budget_done", steps=args.steps,
