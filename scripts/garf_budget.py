@@ -32,11 +32,15 @@ LOG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "quality_r4_log.jsonl")
 
 
+_FILE_LOG = [True]
+
+
 def emit(**kw):
     line = json.dumps(kw)
     print(line, flush=True)
-    with open(LOG, "a") as f:
-        f.write(line + "\n")
+    if _FILE_LOG[0]:  # smoke runs (tiny --steps) stay off the repo log
+        with open(LOG, "a") as f:
+            f.write(line + "\n")
 
 
 def pose_error(poses, poses_gt):
@@ -71,6 +75,7 @@ def main():
                     help="reference: Easyship.yaml:21")
     ap.add_argument("--samples", type=int, default=128)
     args = ap.parse_args()
+    _FILE_LOG[0] = args.steps >= 1000
 
     scene = make_scene(n_views=args.views, H=args.size, W=args.size,
                        textured=True)
