@@ -57,7 +57,10 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
         const_dt=cfg.get("const_dt", True),
         n_compact=cfg.get("n_compact", 32),
-        fused_march=cfg.get("fused_march", True))
+        fused_march=cfg.get("fused_march", True),
+        # render-side transmittance cutoff; 1e-2 with n_samples 20 is the
+        # validated fast render profile (PERF_NOTES §9b)
+        early_stop_eps=cfg.get("early_stop_eps", 1e-4))
     sampler = build_from_cfg(dict(cfg.get(
         "sampler", {"type": "DensityGridSampler"})), SAMPLERS)
     optim = build_from_cfg(dict(cfg.get("optim", {"type": "Adam"})), OPTIMS)
