@@ -278,3 +278,37 @@ class TestNGPMetadataParity:
         # file_path naming convention matches ("./val/r_<i>")
         assert got["frames"][0]["file_path"].rsplit("_", 1)[0] == \
             ref["frames"][0]["file_path"].rsplit("_", 1)[0]
+
+
+class TestCascadeScene:
+    """make_cascade_scene (round 4): dense multi-radius coverage with
+    content outside the unit AABB for aabb_scale=4 quality runs."""
+
+    def test_rings_and_out_of_box_content(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from myc_nerfs_tpu.data.synthetic import make_cascade_scene
+
+        s = make_cascade_scene(n_views=8, H=24, W=24, n_samples=64)
+        assert s.images.shape == (8, 24, 24, 3)
+        assert bool(np.isfinite(np.asarray(s.images)).all())
+        # 4 rings x 2 views: camera radii alternate between 2.6 and 4.2
+        cams = []
+        for i in range(8):
+            R, t = s.poses[i][:, :3], s.poses[i][:, 3]
+            cams.append(np.asarray(-R.T @ t))
+        radii = np.linalg.norm(np.stack(cams)[:, :2], axis=-1)
+        assert radii[:4].mean() < 3.2 < radii[4:].mean()
+        # every view sees real (non-background) content
+        for i in range(8):
+            nonbg = (np.abs(np.asarray(s.images[i]) - 1.0).max(-1)
+                     > 0.05).mean()
+            assert nonbg > 0.05, f"view {i} almost empty ({nonbg:.3f})"
+        # torus content lies outside the warped unit box: a far-ring view
+        # pointed at the origin must include pixels whose depth-weighted
+        # sample positions exceed the unit AABB. Proxy: the field itself.
+        from myc_nerfs_tpu.data.synthetic import analytic_field_detail
+
+        pts = jnp.asarray([[1.9, 0.0, 0.2]])  # torus center ring
+        _, sigma = analytic_field_detail(pts, outer=True)
+        assert float(sigma[0]) > 1.0
