@@ -66,6 +66,15 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="CPU smoke (sitecustomize pins the axon platform, "
                          "so override via jax.config, not env)")
+    # Scene-geometry adaptation: the reference configs carry per-scene
+    # near/far/radii (Scar near=5 far=40, Scarf radii=28) sized for the
+    # competition scenes; the synthetic detail scene lives at depth
+    # 1.5-4.5, so scaled Scar/Scarf budget runs override these while
+    # keeping every model/regularizer/schedule knob at reference parity.
+    ap.add_argument("--near", type=float, default=None)
+    ap.add_argument("--far", type=float, default=None)
+    ap.add_argument("--radii", type=float, default=None,
+                    help="NeRF++ background sphere radius (Scarf)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -73,6 +82,14 @@ def main():
 
     a = parse_txt_config(args.config)
     a["n_iters"] = args.steps
+    geom_overrides = {}
+    for k in ("near", "far", "radii"):
+        v = getattr(args, k)
+        if v is not None:
+            a[k] = v
+            geom_overrides[k] = v
+    if geom_overrides:
+        a.pop("near_far", None)  # near/far take effect (build_configs prefers near_far)
     model_cfg, train_cfg = build_configs(a)
     aabb = np.asarray([[-1.2] * 3, [1.2] * 3], np.float32)
 
@@ -88,10 +105,12 @@ def main():
                                    args.size, args.size) for i in val_idx]
     val_gt = [scene.images[i] for i in val_idx]
     emit(event="tensorf_budget_start", config=os.path.basename(args.config),
+         model=a.get("model_name", "TensorVMSplit"),
          steps=args.steps, views=args.views, size=args.size,
          val_views=val_idx, train_rays=int(rays.shape[0]),
          upsamp=list(train_cfg.upsamp_list),
          alphamask=list(train_cfg.update_alphamask_list),
+         geom_overrides=geom_overrides or None,
          scene_s=round(time.perf_counter() - t_scene, 1))
 
     trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb,
