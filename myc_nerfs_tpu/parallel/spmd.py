@@ -418,6 +418,43 @@ def multichip_ngp_train_block(mesh, n_rays: int = 256, n_steps: int = 4,
     return new_state, metrics
 
 
+def multichip_ngp_render(mesh, occ_cfg, rcfg, model_apply, params,
+                         occ_state, rays_o, rays_d, bg_color,
+                         placed: bool = False):
+    """Render a ray batch DP-sharded over the mesh "data" axis.
+
+    Rays are independent, so render scaling is pure DP (SURVEY §2.5): the
+    batch shards over "data", params/occupancy replicate (or keep the
+    caller's TP placement when ``placed=True``, e.g. GroupTPModel hashed
+    tables over "model"), and GSPMD partitions the same single-chip render
+    program (render_rays_ngp — the reference's chunked Runner.render_img,
+    runner.py:195-228, is the 1-chip case). No collectives in the forward:
+    every chip renders its ray shard against local/replicated state. Backs
+    the multi-chip render projection (README/BENCH) with a compiled,
+    executed program; used by tests and scripts/compile_real_multichip.py.
+    """
+    from ..render.ngp_render import render_rays_ngp
+
+    rep = mesh_lib.replicated(mesh)
+    if not placed:
+        params = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), params)
+        occ_state = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), occ_state)
+    bg_color = jax.device_put(jnp.asarray(bg_color), rep)
+    rays_o, rays_d = mesh_lib.shard_batch(mesh, rays_o, rays_d)
+
+    @jax.jit
+    def render(p, s, o, d):
+        return render_rays_ngp(occ_cfg, rcfg, model_apply, p, s, o, d,
+                               bg_color)
+
+    with mesh:
+        out = render(params, occ_state, rays_o, rays_d)
+        jax.block_until_ready(out.rgb)
+    return out
+
+
 def multichip_tensorf_train_block(mesh, n_rays: int = 64, n_steps: int = 2,
                                   seed: int = 0, replicate: bool = False):
     """Ray-axis DP for the TensoRF stack: the scanned train block

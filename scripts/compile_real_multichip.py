@@ -92,6 +92,26 @@ def main():
         flush=True)
     assert np.isfinite(loss)
 
+    # second gate: the RENDER program at the same full shape, at the
+    # SHIPPED render profile (K=20, eps=1e-2 — PERF_NOTES §9b), rays DP
+    # over "data" with the GroupTP tables still sharded over "model".
+    # This is the program the >=2 Mrays/s multi-chip projection runs.
+    rcfg_render = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=20,
+                                  early_stop_eps=1e-2)
+    t2 = time.perf_counter()
+    out = spmd.multichip_ngp_render(
+        mesh, trainer.occ_cfg, rcfg_render, trainer.model.apply,
+        new_state.params, new_state.occ, ro[0], rd[0], jnp.ones((3,)),
+        placed=True)
+    rgb = np.asarray(out.rgb)
+    print(json.dumps({
+        "event": "render_done", "rays": int(rgb.shape[0]),
+        "n_coarse": 128, "K": 20, "early_stop_eps": 1e-2,
+        "rgb_finite": bool(np.isfinite(rgb).all()),
+        "compile_plus_run_s": round(time.perf_counter() - t2, 1)}),
+        flush=True)
+    assert np.isfinite(rgb).all()
+
 
 if __name__ == "__main__":
     main()

@@ -194,6 +194,95 @@ class TestGroupTP:
             np.asarray(s_rep.params["table"]["hashed"]), atol=1e-5)
 
 
+class TestDPRender:
+    """Render-path DP (the mechanism behind the multi-chip >=2 Mrays/s
+    projection): the single-chip render program sharded over "data" must
+    produce the same pixels. The reference's only scaling is host-side
+    chunking (runner.py:195-228)."""
+
+    def _setup(self, key=0, n_rays=64):
+        from myc_nerfs_tpu.render import occupancy as occ
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+
+        occ_cfg = occ.OccupancyConfig()
+        st = occ.init_occupancy(occ_cfg)
+        st = st._replace(bitfield=jnp.ones_like(st.bitfield),
+                         density_grid=jnp.full_like(st.density_grid, 0.05),
+                         mean_density=jnp.asarray(0.05))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8)
+        theta = jax.random.uniform(jax.random.PRNGKey(key), (n_rays,)) * 6.28
+        rays_o = jnp.stack([0.5 + 1.4 * jnp.cos(theta),
+                            0.5 + 1.4 * jnp.sin(theta),
+                            jnp.full((n_rays,), 0.5)], -1)
+        rays_d = 0.5 - rays_o
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        return occ_cfg, st, rcfg, rays_o, rays_d
+
+    def test_dp_render_matches_single_chip(self, devices):
+        from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModel, \
+            NGPModelConfig
+        from myc_nerfs_tpu.render.ngp_render import render_rays_ngp
+
+        occ_cfg, st, rcfg, rays_o, rays_d = self._setup()
+        cfg = NGPModelConfig(grid=HashGridConfig(n_levels=4,
+                                                 desired_resolution=64.0))
+        model = NGPModel(cfg)
+        params = model.init(jax.random.PRNGKey(3))
+        bg = jnp.ones((3,))
+        ref = render_rays_ngp(occ_cfg, rcfg, model.apply, params, st,
+                              rays_o, rays_d, bg)
+        m = mesh_lib.make_mesh(devices)
+        out = spmd.multichip_ngp_render(m, occ_cfg, rcfg, model.apply,
+                                        params, st, rays_o, rays_d, bg)
+        assert len(out.rgb.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.depth),
+                                   np.asarray(ref.depth), atol=1e-5)
+
+    def test_dp_tp_render_group_tables_matches_single_chip(self, devices):
+        """Full dp x tp render: brick3 GROUP tables sharded over "model",
+        rays over "data" — pixels equal the plain single-chip brick3
+        render (the shipped layout renders under TP unchanged)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModel, \
+            NGPModelConfig
+        from myc_nerfs_tpu.render.ngp_render import render_rays_ngp
+
+        occ_cfg, st, rcfg, rays_o, rays_d = self._setup(key=1)
+        m = mesh_lib.make_mesh(devices, data=4, model=2)
+        cfg = NGPModelConfig(grid=HashGridConfig(
+            n_levels=7, log2_hashmap_size=14, desired_resolution=512.0),
+            grid_impl="brick3")  # 1 dense + 6 hashed -> 2 triple groups
+        plain = NGPModel(cfg)
+        tp = spmd.GroupTPModel(cfg, m)
+        key = jax.random.PRNGKey(4)
+        p_plain = plain.init(key)
+        p_tp = tp.init(key)
+        bg = jnp.ones((3,))
+        ref = render_rays_ngp(occ_cfg, rcfg, plain.apply, p_plain, st,
+                              rays_o, rays_d, bg)
+
+        rep = mesh_lib.replicated(m)
+
+        def place(path, leaf):
+            names = [str(getattr(p, "key", getattr(p, "name", "")))
+                     for p in path]
+            if "hashed" in names and leaf.ndim == 3:
+                return jax.device_put(
+                    leaf, NamedSharding(m, P("model", None, None)))
+            return jax.device_put(leaf, rep)
+
+        p_tp = jax.tree_util.tree_map_with_path(place, p_tp)
+        st_rep = jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), st)
+        out = spmd.multichip_ngp_render(m, occ_cfg, rcfg, tp.apply, p_tp,
+                                        st_rep, rays_o, rays_d, bg,
+                                        placed=True)
+        np.testing.assert_allclose(np.asarray(out.rgb), np.asarray(ref.rgb),
+                                   atol=1e-5)
+
+
 class TestFamilyDP:
     """DP coverage beyond the NGP stack (SURVEY §2.5: DP is first-class for
     every family; the reference is single-GPU everywhere)."""
