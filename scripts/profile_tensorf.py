@@ -120,6 +120,54 @@ def measure_variant(variant, label, n_voxels=160 ** 3):
     emit(label, ms_per_iter=round(dt * 1e3, 2), iters_per_s=round(1.0 / dt, 1))
 
 
+def measure_budget_shaped(label, mask_reso=256, regs=True,
+                          n_voxels=300 ** 3, batch=4096):
+    """Decompose the §5d-vs-budget-run gap: the Coffee 30k budget run
+    sustains ~0.85-0.9 s/iter of pure train at the 300^3 stage while §5d's
+    marginal probe measured 252 ms. Two config differences are candidates:
+    (a) the probe's alpha volume was an all-pass 64^3; the budget's real
+    mask is 256^3 (a 67 MB narrow-gather target — the §1 row-cost model
+    says target size matters); (b) the probe left Coffee's TV(0.3 x2) +
+    L1 regularizers off. This measures the marginal block rate with both
+    matched to the budget run, togglable for A/B.
+    """
+    mcfg = tf.TensoRFConfig(decomp="vm_split")
+    kw = dict(n_voxel_init=n_voxels, batch_size=batch)
+    if regs:
+        kw.update(tv_weight_density=0.3, tv_weight_app=0.3,
+                  l1_weight_initial=4e-5, l1_weight_rest=2e-5)
+    cfg = tt.TensoRFTrainConfig(**kw)
+    aabb = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]], np.float32)
+    trainer = tt.TensoRFTrainer(mcfg, cfg, aabb, jax.random.PRNGKey(0))
+    # alpha volume with ball-shaped content (~mask pass rate of a real
+    # scene) at the budget run's resolution (alpha_mask_reso_cap=256)
+    g = (jnp.arange(mask_reso) + 0.5) / mask_reso - 0.5
+    r = jnp.sqrt(g[:, None, None] ** 2 + g[None, :, None] ** 2
+                 + g[None, None, :] ** 2)
+    trainer.buffers = dict(trainer.buffers)
+    trainer.buffers["alpha_volume"] = (r < 0.35).astype(jnp.float32)
+    trainer.buffers["alpha_aabb"] = jnp.asarray(aabb)
+    trainer._rebuild(lr_scale=1.0)
+    key = jax.random.PRNGKey(1)
+    S = 16
+    rays = rays_batch(key, S * batch).reshape(S, batch, 6)
+    rgbs = jax.random.uniform(jax.random.fold_in(key, 2), (S, batch, 3))
+    p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                               rays, rgbs, key, jnp.int32(0))
+    trainer.params = p
+    sync(p)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                                   rays, rgbs, jax.random.fold_in(key, i),
+                                   jnp.int32(16 * i))
+    sync(p)
+    dt = (time.perf_counter() - t0) / (reps * S)
+    emit(label, ms_per_iter=round(dt * 1e3, 2),
+         iters_per_s=round(1.0 / dt, 1), mask_reso=mask_reso, regs=regs)
+
+
 if __name__ == "__main__":
     import sys as _sys
     which = _sys.argv[1] if len(_sys.argv) > 1 else "base"
@@ -129,3 +177,8 @@ if __name__ == "__main__":
     if which in ("variants", "all"):
         measure_variant("ref", "ref_tensorf_160cube")
         measure_variant("npp", "nerfpp_160cube")
+    if which in ("budget", "all"):
+        # full budget shape, then the two A/B knockouts
+        measure_budget_shaped("tensorf_300cube_budget_shaped")
+        measure_budget_shaped("tensorf_300cube_mask64", mask_reso=64)
+        measure_budget_shaped("tensorf_300cube_noregs", regs=False)
