@@ -503,6 +503,38 @@ def multichip_tensorf_train_block(mesh, n_rays: int = 64, n_steps: int = 2,
     return metrics, params
 
 
+def multichip_tensorf_render(mesh, model_cfg, geom, params, buffers, rays,
+                             white_bg: bool = True, forward_fn=None):
+    """TensoRF eval render DP-sharded over "data": rays shard, factor
+    grids + shading MLP + alpha mask replicate, GSPMD partitions the same
+    single-chip forward (the reference's host-side chunk loop,
+    OctreeRender_trilinear_fast renderer.py:12-27, is the 1-chip case).
+    Returns (rgb [N, 3], depth [N]).
+    """
+    from ..models import tensorf as tf_m
+
+    rep = mesh_lib.replicated(mesh)
+    params = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), params)
+    buffers = jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), buffers)
+    rays = mesh_lib.shard_batch(mesh, rays)
+    mlp_apply = (None if forward_fn is not None
+                 else tf_m.make_render_mlp(model_cfg).apply)
+
+    @jax.jit
+    def render(p, b, r):
+        if forward_fn is not None:
+            out = forward_fn(model_cfg, geom, p, b, r, None, white_bg)
+        else:
+            out = tf_m.tensorf_forward(model_cfg, geom, p, b, r, None,
+                                       white_bg=white_bg, mlp_apply=mlp_apply)
+        return out.rgb_map, out.depth_map
+
+    with mesh:
+        rgb, depth = render(params, buffers, rays)
+        jax.block_until_ready(rgb)
+    return rgb, depth
+
+
 def _place_nerf_state(mesh, state, n_images: int, replicate: bool = False):
     """Image-axis DP placement for BARF/GARF: per-image leaves (se3_refine,
     pose_noise and the pose-optimizer Adam moments, all [n_images, 6])

@@ -283,6 +283,45 @@ class TestDPRender:
                                    atol=1e-5)
 
 
+class TestTensorfDPRender:
+    def test_tensorf_dp_render_matches_single_chip(self, devices):
+        """TensoRF eval render under ray-axis DP == the single-chip
+        forward, pixel for pixel."""
+        from myc_nerfs_tpu.data.synthetic import orbit_poses
+        from myc_nerfs_tpu.models import tensorf as tf_m
+        from myc_nerfs_tpu.train import tensorf_trainer as tt
+
+        aabb = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]])
+        mcfg = tf_m.TensoRFConfig(density_n_comp=(2, 2, 2),
+                                  app_n_comp=(4, 4, 4), app_dim=8,
+                                  featureC=16, near_far=(1.5, 4.5),
+                                  distance_scale=25.0, density_shift=-5.0,
+                                  shading_mode="MLP_Fea")
+        tcfg = tt.TensoRFTrainConfig(
+            n_iters=1, batch_size=64, n_voxel_init=8 ** 3,
+            n_voxel_final=8 ** 3, upsamp_list=(), update_alphamask_list=(),
+            n_samples_cap=16)
+        trainer = tt.TensoRFTrainer(mcfg, tcfg, aabb, jax.random.PRNGKey(2))
+        H = W = 8
+        poses = orbit_poses(2)
+        f = 1.2 * W
+        intr = jnp.broadcast_to(
+            jnp.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]]),
+            (2, 3, 3))
+        rays = tt.build_ray_store(poses, intr, H, W)  # [128, 6]
+        rgb_ref, depth_ref = trainer.render_rays(rays, chunk=128)
+
+        m = mesh_lib.make_mesh(devices)
+        rgb, depth = spmd.multichip_tensorf_render(
+            m, mcfg, trainer.geom, trainer.params, trainer.buffers, rays,
+            white_bg=trainer.cfg.white_bg)
+        assert len(rgb.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                                   atol=1e-5)
+
+
 class TestFamilyDP:
     """DP coverage beyond the NGP stack (SURVEY §2.5: DP is first-class for
     every family; the reference is single-GPU everywhere)."""
