@@ -106,6 +106,58 @@ def build_configs(a: dict):
     return model_cfg, train_cfg
 
 
+def build_family_trainer(a: dict, model_cfg, train_cfg, aabb, key=None):
+    """Construct a TensoRFTrainer wired for ``a['model_name']``.
+
+    The plain decompositions (TensorVMSplit/TensorVM/TensorCP) run the base
+    forward; REFTensoRF swaps in the Ref-NeRF heads + normal-vector penalty
+    (tensorf-myc/train.py:253-257, models/REFTensoRF.py:107-233) and
+    NerfPlusPlus the inverted-sphere background (models/nerfplusplus.py:
+    272-318). Shared by the CLI and scripts/tensorf_budget.py so a
+    Scar/Scarf config can never silently train the base model.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    model_name = a.get("model_name", "TensorVMSplit")
+    forward_fn = None
+    extra_loss = None
+    if model_name == "REFTensoRF":
+        w = a.get("normal_vector_penalty_weight", 0.0)
+        ref_apply = ref_tensorf.make_ref_mlp(model_cfg).apply
+
+        def forward_fn(mc, g, params, bufs, r, key, white_bg):
+            return ref_tensorf.ref_tensorf_forward(mc, g, params, bufs, r, key,
+                                                   white_bg=white_bg,
+                                                   mlp_apply=ref_apply)
+
+        def extra_loss(params, out):
+            return w * out.extras["penalty"]
+    elif model_name == "NerfPlusPlus":
+        pp = nerfpp.NerfPPConfig(bg_freq=a.get("bg_freq", 4),
+                                 bg_view_freq=a.get("bg_view_freq", 2),
+                                 bg_D=a.get("bg_D", 4),
+                                 radii=a.get("radii", 20),
+                                 bg_samples=a.get("bg_samples", 512))
+        base_apply = tfm.make_render_mlp(model_cfg).apply
+        bg_apply = nerfpp.make_bg_net(pp).apply
+
+        def forward_fn(mc, g, params, bufs, r, key, white_bg):
+            return nerfpp.nerfpp_forward(mc, pp, g, params, bufs, r, key,
+                                         mlp_apply=base_apply,
+                                         bg_apply=bg_apply)
+
+    trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb, key,
+                                extra_loss_fn=extra_loss, forward_fn=forward_fn)
+    if model_name == "REFTensoRF":
+        trainer.params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1),
+                                                    model_cfg, trainer.params)
+        trainer._rebuild(lr_scale=1.0)
+    elif model_name == "NerfPlusPlus":
+        trainer.params["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(2), pp)
+        trainer._rebuild(lr_scale=1.0)
+    return trainer
+
+
 def load_rays(a: dict):
     if a.get("synthetic"):
         from ..data.synthetic import make_scene
@@ -159,43 +211,8 @@ def main(argv: Optional[list] = None):
     model_name = a.get("model_name", "TensorVMSplit")
 
     # variant wiring: swap the model forward + extra loss (train.py:253-257)
-    forward_fn = None
-    extra_loss = None
-    if model_name == "REFTensoRF":
-        w = a.get("normal_vector_penalty_weight", 0.0)
-        ref_apply = ref_tensorf.make_ref_mlp(model_cfg).apply
-
-        def forward_fn(mc, g, params, bufs, r, key, white_bg):
-            return ref_tensorf.ref_tensorf_forward(mc, g, params, bufs, r, key,
-                                                   white_bg=white_bg,
-                                                   mlp_apply=ref_apply)
-
-        def extra_loss(params, out):
-            return w * out.extras["penalty"]
-    elif model_name == "NerfPlusPlus":
-        pp = nerfpp.NerfPPConfig(bg_freq=a.get("bg_freq", 4),
-                                 bg_view_freq=a.get("bg_view_freq", 2),
-                                 bg_D=a.get("bg_D", 4),
-                                 radii=a.get("radii", 20),
-                                 bg_samples=a.get("bg_samples", 512))
-        base_apply = tfm.make_render_mlp(model_cfg).apply
-        bg_apply = nerfpp.make_bg_net(pp).apply
-
-        def forward_fn(mc, g, params, bufs, r, key, white_bg):
-            return nerfpp.nerfpp_forward(mc, pp, g, params, bufs, r, key,
-                                         mlp_apply=base_apply,
-                                         bg_apply=bg_apply)
-
-    trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb,
-                                jax.random.PRNGKey(0),
-                                extra_loss_fn=extra_loss, forward_fn=forward_fn)
-    if model_name == "REFTensoRF":
-        trainer.params = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1),
-                                                    model_cfg, trainer.params)
-        trainer._rebuild(lr_scale=1.0)
-    elif model_name == "NerfPlusPlus":
-        trainer.params["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(2), pp)
-        trainer._rebuild(lr_scale=1.0)
+    trainer = build_family_trainer(a, model_cfg, train_cfg, aabb,
+                                   jax.random.PRNGKey(0))
 
     ckpt = args.ckpt or os.path.join(out_dir, f"{a.get('expname', 'tensorf')}.ckpt")
 

@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from myc_nerfs_tpu.cli.tensorf_train import (build_configs, parse_txt_config,
+from myc_nerfs_tpu.cli.tensorf_train import (build_configs,
+                                             build_family_trainer,
+                                             parse_txt_config,
                                              restore_tensorf_ckpt,
                                              save_tensorf_ckpt)
 from myc_nerfs_tpu.data.synthetic import make_detail_scene
@@ -71,6 +73,8 @@ def main():
     # competition scenes; the synthetic detail scene lives at depth
     # 1.5-4.5, so scaled Scar/Scarf budget runs override these while
     # keeping every model/regularizer/schedule knob at reference parity.
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch_size (CPU smokes only)")
     ap.add_argument("--near", type=float, default=None)
     ap.add_argument("--far", type=float, default=None)
     ap.add_argument("--radii", type=float, default=None,
@@ -82,6 +86,8 @@ def main():
 
     a = parse_txt_config(args.config)
     a["n_iters"] = args.steps
+    if args.batch:
+        a["batch_size"] = args.batch
     geom_overrides = {}
     for k in ("near", "far", "radii"):
         v = getattr(args, k)
@@ -113,8 +119,10 @@ def main():
          geom_overrides=geom_overrides or None,
          scene_s=round(time.perf_counter() - t_scene, 1))
 
-    trainer = tt.TensoRFTrainer(model_cfg, train_cfg, aabb,
-                                jax.random.PRNGKey(0))
+    # family wiring (REFTensoRF heads / NeRF++ background) comes from the
+    # config's model_name — a Scar/Scarf run must train the real variant
+    trainer = build_family_trainer(a, model_cfg, train_cfg, aabb,
+                                   jax.random.PRNGKey(0))
     if args.resume and os.path.exists(args.ckpt):
         restore_tensorf_ckpt(args.ckpt, trainer, for_training=True)
         emit(event="tensorf_budget_resumed", step=trainer.global_step)

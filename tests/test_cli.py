@@ -210,3 +210,72 @@ class TestScenesDriver:
         has_frames = os.path.isdir(os.path.join(out, "demo")) and \
             len(os.listdir(os.path.join(out, "demo"))) > 0
         assert has_mp4 or has_frames
+
+
+class TestFamilyTrainer:
+    """build_family_trainer wires the model family from model_name.
+
+    Shared by the CLI and scripts/tensorf_budget.py: a Scar (REFTensoRF) or
+    Scarf (NerfPlusPlus) budget run must train the real variant — heads /
+    background net present, trained, and carried through checkpoints — not
+    silently fall back to the base TensorVMSplit (ref train.py:253-257).
+    """
+
+    def _tiny(self, model_name):
+        return {"model_name": model_name, "n_iters": 4, "batch_size": 32,
+                "N_voxel_init": 4096, "N_voxel_final": 4096,
+                "upsamp_list": [100000], "update_AlphaMask_list": [100000],
+                "nSamples": 16, "n_lamb_sigma": [2, 2, 2],
+                "n_lamb_sh": [4, 4, 4], "data_dim_color": 6, "featureC": 16,
+                "normal_vector_penalty_weight": 0.5,
+                "bg_freq": 2, "bg_view_freq": 2, "bg_D": 2, "radii": 5.0,
+                "bg_samples": 8, "near": 0.5, "far": 6.0}
+
+    def _build(self, a):
+        import jax
+        from myc_nerfs_tpu.cli.tensorf_train import (build_configs,
+                                                     build_family_trainer)
+
+        model_cfg, train_cfg = build_configs(a)
+        aabb = np.asarray([[-1.2] * 3, [1.2] * 3], np.float32)
+        return build_family_trainer(a, model_cfg, train_cfg, aabb,
+                                    jax.random.PRNGKey(0))
+
+    def _rays(self):
+        import jax
+        from myc_nerfs_tpu.data.synthetic import make_scene
+        from myc_nerfs_tpu.train import tensorf_trainer as tt
+
+        scene = make_scene(n_views=2, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)
+        return rays, scene.images.reshape(-1, 3), jax.random.PRNGKey(3)
+
+    @pytest.mark.parametrize("model_name,extra_key", [
+        ("REFTensoRF", "normal_linear"), ("NerfPlusPlus", "bg_net")])
+    def test_variant_params_train_and_roundtrip(self, in_tmp, model_name,
+                                                extra_key):
+        import jax
+        import jax.numpy as jnp
+        from myc_nerfs_tpu.cli.tensorf_train import (restore_tensorf_ckpt,
+                                                     save_tensorf_ckpt)
+
+        a = self._tiny(model_name)
+        trainer = self._build(a)
+        assert extra_key in trainer.params
+        rays, rgbs, key = self._rays()
+        before = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                        trainer.params[extra_key])
+        trainer.train(rays, rgbs, n_iters=4, key=key)
+        after = trainer.params[extra_key]
+        moved = any(
+            not np.allclose(np.asarray(b), np.asarray(x))
+            for b, x in zip(jax.tree_util.tree_leaves(before),
+                            jax.tree_util.tree_leaves(after)))
+        assert moved, f"{extra_key} received no gradient"
+        save_tensorf_ckpt("fam.msgpack", trainer, model_name)
+        fresh = self._build(a)
+        restore_tensorf_ckpt("fam.msgpack", fresh, for_training=True)
+        assert fresh.global_step == 4
+        for x, y in zip(jax.tree_util.tree_leaves(after),
+                        jax.tree_util.tree_leaves(fresh.params[extra_key])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
