@@ -389,6 +389,7 @@ def restore_tensorf_ckpt(ckpt: str, trainer, for_training: bool = False):
     trainer.buffers["alpha_aabb"] = state["alpha_aabb"]
     if state["alpha_volume"].size:
         trainer.buffers["alpha_volume"] = state["alpha_volume"]
+        trainer.buffers = tfm.prepare_alpha_buffers(trainer.buffers)
     trainer.geom = tfm.compute_stage_geom(
         trainer.model_cfg, np.asarray(state["aabb"]), gs,
         trainer.cfg.n_samples_cap)

@@ -153,9 +153,9 @@ def nerfpp_forward(model_cfg: tf.TensoRFConfig, pp_cfg: NerfPPConfig,
     valid = jnp.logical_not(jnp.logical_or(aabb[0] > pts, pts > aabb[1]).any(-1))
     dists = jnp.concatenate([fg_depth[:, 1:] - fg_depth[:, :-1],
                              jnp.zeros_like(fg_depth[:, :1])], -1)
-    if buffers.get("alpha_volume") is not None:
-        alphas = tf.sample_alpha_mask(buffers["alpha_volume"], buffers["alpha_aabb"], pts)
-        valid = jnp.logical_and(valid, alphas > 0)
+    occ = tf.alpha_mask_valid(buffers, pts)
+    if occ is not None:
+        valid = jnp.logical_and(valid, occ)
 
     xyz = tf.normalize_coord(aabb, pts)
     sigma = jnp.where(valid, tf.feature2density(

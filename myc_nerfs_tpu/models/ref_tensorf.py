@@ -115,10 +115,9 @@ def ref_tensorf_forward(cfg: tf.TensoRFConfig, geom: tf.StageGeom, params,
                                        geom.step_size, n_s, cfg.near_far, key)
     dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
                              jnp.zeros_like(z_vals[:, :1])], -1)
-    if buffers.get("alpha_volume") is not None:
-        alphas = tf.sample_alpha_mask(buffers["alpha_volume"],
-                                      buffers["alpha_aabb"], pts)
-        valid = jnp.logical_and(valid, alphas > 0)
+    occ = tf.alpha_mask_valid(buffers, pts)
+    if occ is not None:
+        valid = jnp.logical_and(valid, occ)
 
     xyz = tf.normalize_coord(buffers["aabb"], pts)
     sigma = jnp.where(valid, tf.feature2density(

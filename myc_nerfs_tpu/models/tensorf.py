@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.compaction import compact_first_k
-from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.grid_sample import cell_base_index, grid_sample_2d, grid_sample_3d
 from ..ops.sh import eval_sh_bases
 from ..render.composite import raw2alpha
 
@@ -369,6 +369,63 @@ def sample_alpha_mask(alpha_volume: jnp.ndarray, alpha_aabb: jnp.ndarray,
     return grid_sample_3d(alpha_volume[None], coords)[..., 0]
 
 
+def dilate_alpha_corners(vol: jnp.ndarray) -> jnp.ndarray:
+    """Max over each trilinear cell's corner window: dil[i] = max vol[i:i+2]
+    per axis (border clamped like the gather's corner index).
+
+    For a BINARY volume this makes `dil[cell_base] > 0` equal to
+    `trilinear(vol) > 0` in the cell interior (any corner occupied), the
+    predicate every alpha-mask consumer applies (tensorBase.py:491-496) —
+    so one nearest gather replaces 8 per-corner gathers per sample. On the
+    clamped border and at exact grid planes the dilated form is a one-voxel
+    superset: extra samples stay valid and get their true density, which
+    only ever widens the evaluated set.
+    """
+    for ax in range(3):
+        n = vol.shape[ax]
+        if n > 1:
+            idx = jnp.minimum(jnp.arange(n) + 1, n - 1)
+            vol = jnp.maximum(vol, jnp.take(vol, idx, axis=ax))
+    return vol
+
+
+def prepare_alpha_buffers(buffers):
+    """Derive the corner-dilated alpha volume once per stage (host side).
+
+    Call after installing/restoring `alpha_volume`; forwards prefer the
+    dilated single-gather gate when present (PERF_NOTES §14: the 256^3
+    trilinear mask is 8 issue-bound narrow gathers per sample).
+    """
+    if buffers.get("alpha_volume") is None:
+        if buffers.get("alpha_volume_dil") is not None:
+            buffers = dict(buffers)
+            buffers["alpha_volume_dil"] = None
+        return buffers
+    buffers = dict(buffers)
+    buffers["alpha_volume_dil"] = dilate_alpha_corners(buffers["alpha_volume"])
+    return buffers
+
+
+def alpha_mask_valid(buffers, xyz: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Boolean occupancy gate from the installed alpha mask (or None).
+
+    Single nearest gather on the corner-dilated volume when available;
+    falls back to the trilinear lookup (identical predicate) otherwise.
+    """
+    if buffers.get("alpha_volume") is None:
+        return None
+    dil = buffers.get("alpha_volume_dil")
+    if dil is not None:
+        coords = normalize_coord(buffers["alpha_aabb"], xyz)
+        D, H, W = dil.shape
+        x0 = cell_base_index(coords[..., 0], W)
+        y0 = cell_base_index(coords[..., 1], H)
+        z0 = cell_base_index(coords[..., 2], D)
+        return dil.reshape(-1)[(z0 * H + y0) * W + x0] > 0
+    return sample_alpha_mask(buffers["alpha_volume"],
+                             buffers["alpha_aabb"], xyz) > 0
+
+
 class TensoRFOut(NamedTuple):
     rgb_map: jnp.ndarray
     depth_map: jnp.ndarray
@@ -399,9 +456,9 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
                                         geom.step_size, n_s, cfg.near_far, key)
         dists = jnp.concatenate([z_vals[:, 1:] - z_vals[:, :-1],
                                  jnp.zeros_like(z_vals[:, :1])], axis=-1)
-    if buffers.get("alpha_volume") is not None:
-        alphas = sample_alpha_mask(buffers["alpha_volume"], buffers["alpha_aabb"], pts)
-        valid = jnp.logical_and(valid, alphas > 0)
+    occ = alpha_mask_valid(buffers, pts)
+    if occ is not None:
+        valid = jnp.logical_and(valid, occ)
 
     xyz = normalize_coord(buffers["aabb"], pts)
     sigma_feat = compute_density_feature(cfg, params, xyz)
@@ -476,10 +533,8 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
 def compute_alpha(cfg: TensoRFConfig, params, buffers, xyz: jnp.ndarray,
                   length: float) -> jnp.ndarray:
     """Opacity of a dense point set (tensorBase.py:450-473)."""
-    if buffers.get("alpha_volume") is not None:
-        mask = sample_alpha_mask(buffers["alpha_volume"], buffers["alpha_aabb"], xyz) > 0
-    else:
-        mask = jnp.ones(xyz.shape[:-1], bool)
+    occ = alpha_mask_valid(buffers, xyz)
+    mask = occ if occ is not None else jnp.ones(xyz.shape[:-1], bool)
     coords = normalize_coord(buffers["aabb"], xyz)
     sigma = jnp.where(mask, feature2density(cfg, compute_density_feature(cfg, params, coords)), 0.0)
     return 1.0 - jnp.exp(-sigma * length)
@@ -533,7 +588,7 @@ def update_alpha_mask(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
     new_buffers = dict(buffers)
     new_buffers["alpha_volume"] = alpha_bin
     new_buffers["alpha_aabb"] = buffers["aabb"]
-    return new_buffers, np.asarray(new_aabb)
+    return prepare_alpha_buffers(new_buffers), np.asarray(new_aabb)
 
 
 def _resize_align_corners(grid: jnp.ndarray, new_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["grid_sample_2d", "grid_sample_3d"]
+__all__ = ["grid_sample_2d", "grid_sample_3d", "cell_base_index"]
 
 # volumes whose 8x corner-packed copy would exceed this many elements use
 # per-corner gathers instead (the pack is rebuilt per call)
@@ -48,6 +48,16 @@ def _base_and_weight(coord: jnp.ndarray, size: int):
     i0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, size - 2)
     w = jnp.clip(c - i0, 0.0, 1.0)
     return i0, w
+
+
+def cell_base_index(coord: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Start index of the trilinear cell a [-1,1] coordinate falls in.
+
+    The same clamped floor `_base_and_weight` uses, exported so occupancy
+    lookups (one nearest gather on a corner-dilated binary volume) index
+    the exact cell the trilinear path would interpolate.
+    """
+    return _base_and_weight(coord, size)[0]
 
 
 def _shift(arr: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -265,6 +265,7 @@ class TensoRFTrainer:
                     # current AABB and drop the useless mask
                     new_aabb = np.asarray(self.buffers["aabb"])
                     self.buffers["alpha_volume"] = None
+                    self.buffers = tf.prepare_alpha_buffers(self.buffers)
                 if it + 1 == cfg.update_alphamask_list[0] and not degenerate:
                     self.params, self.buffers, new_size = tf.shrink(
                         self.model_cfg, self.geom, self.params, self.buffers,

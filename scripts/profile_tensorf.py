@@ -121,7 +121,8 @@ def measure_variant(variant, label, n_voxels=160 ** 3):
 
 
 def measure_budget_shaped(label, mask_reso=256, regs=True,
-                          n_voxels=300 ** 3, batch=4096):
+                          n_voxels=300 ** 3, batch=4096,
+                          mask_nearest=False):
     """Decompose the §5d-vs-budget-run gap: the Coffee 30k budget run
     sustains ~0.85-0.9 s/iter of pure train at the 300^3 stage while §5d's
     marginal probe measured 252 ms. Two config differences are candidates:
@@ -147,6 +148,11 @@ def measure_budget_shaped(label, mask_reso=256, regs=True,
     trainer.buffers = dict(trainer.buffers)
     trainer.buffers["alpha_volume"] = (r < 0.35).astype(jnp.float32)
     trainer.buffers["alpha_aabb"] = jnp.asarray(aabb)
+    if mask_nearest:
+        # the single-gather corner-dilated gate (default in production via
+        # update_alpha_mask); off by default here so the A/B keeps the
+        # legacy 8-gather trilinear path measurable
+        trainer.buffers = tf.prepare_alpha_buffers(trainer.buffers)
     trainer._rebuild(lr_scale=1.0)
     key = jax.random.PRNGKey(1)
     S = 16
@@ -165,7 +171,8 @@ def measure_budget_shaped(label, mask_reso=256, regs=True,
     sync(p)
     dt = (time.perf_counter() - t0) / (reps * S)
     emit(label, ms_per_iter=round(dt * 1e3, 2),
-         iters_per_s=round(1.0 / dt, 1), mask_reso=mask_reso, regs=regs)
+         iters_per_s=round(1.0 / dt, 1), mask_reso=mask_reso, regs=regs,
+         mask_nearest=mask_nearest)
 
 
 if __name__ == "__main__":
@@ -178,7 +185,10 @@ if __name__ == "__main__":
         measure_variant("ref", "ref_tensorf_160cube")
         measure_variant("npp", "nerfpp_160cube")
     if which in ("budget", "all"):
-        # full budget shape, then the two A/B knockouts
+        # full budget shape, then the A/B knockouts
         measure_budget_shaped("tensorf_300cube_budget_shaped")
         measure_budget_shaped("tensorf_300cube_mask64", mask_reso=64)
         measure_budget_shaped("tensorf_300cube_noregs", regs=False)
+        # the shipped fix: one nearest gather on the corner-dilated mask
+        measure_budget_shaped("tensorf_300cube_mask_nearest",
+                              mask_nearest=True)

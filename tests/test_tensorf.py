@@ -88,6 +88,63 @@ class TestFactors:
                                  jnp.zeros((5, 3)))
         assert np.isfinite(np.asarray(v)).all()
 
+    def test_occupancy_matches_trilinear_predicate(self):
+        """Single-gather occupancy == (trilinear of binary volume) > 0.
+
+        The forwards gate samples on `alpha > 0` (tensorBase.py:491-496);
+        for interior coords the corner-dilated nearest lookup is the same
+        predicate at 1/8 the gather count (PERF_NOTES par.14).
+        """
+        key = jax.random.PRNGKey(7)
+        vol = (jax.random.uniform(key, (9, 7, 5)) < 0.3).astype(jnp.float32)
+        aabb = jnp.asarray(AABB, jnp.float32)
+        bufs = tf.prepare_alpha_buffers(
+            {"alpha_volume": vol, "alpha_aabb": aabb})
+        assert bufs["alpha_volume_dil"].shape == vol.shape
+        # strictly interior, off the grid planes
+        xyz = jax.random.uniform(jax.random.PRNGKey(8), (4096, 3),
+                                 minval=-1.19, maxval=1.19)
+        fast = np.asarray(tf.alpha_mask_valid(bufs, xyz))
+        slow = np.asarray(tf.sample_alpha_mask(vol, aabb, xyz) > 0)
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_occupancy_superset_on_borders(self):
+        """Out-of-range coords clamp; the dilated gate may only ADD samples
+        (extra valid samples get their true density — never drops one)."""
+        key = jax.random.PRNGKey(9)
+        vol = (jax.random.uniform(key, (6, 6, 6)) < 0.4).astype(jnp.float32)
+        aabb = jnp.asarray(AABB, jnp.float32)
+        bufs = tf.prepare_alpha_buffers(
+            {"alpha_volume": vol, "alpha_aabb": aabb})
+        xyz = jax.random.uniform(jax.random.PRNGKey(10), (4096, 3),
+                                 minval=-1.6, maxval=1.6)
+        fast = np.asarray(tf.alpha_mask_valid(bufs, xyz))
+        slow = np.asarray(tf.sample_alpha_mask(vol, aabb, xyz) > 0)
+        assert not np.any(slow & ~fast)
+
+    def test_forward_identical_with_and_without_dil(self):
+        """A real forward renders identically through either mask path
+        (continuous jittered sample coords never land on grid planes)."""
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (16, 16, 16))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB,
+                                          (16, 16, 16))
+        buffers, _ = tf.update_alpha_mask(cfg, geom, params, buffers,
+                                          (16, 16, 16))
+        assert buffers.get("alpha_volume_dil") is not None
+        from myc_nerfs_tpu.data.synthetic import make_scene as _ms
+        from myc_nerfs_tpu.train import tensorf_trainer as _tt
+        scene = _ms(n_views=2, H=8, W=8)
+        rays = _tt.build_ray_store(scene.poses, scene.intr, 8, 8)[:64]
+        out_fast = tf.tensorf_forward(cfg, geom, params, buffers, rays,
+                                      key=jax.random.PRNGKey(3))
+        slow_bufs = dict(buffers)
+        slow_bufs["alpha_volume_dil"] = None
+        out_slow = tf.tensorf_forward(cfg, geom, params, slow_bufs, rays,
+                                      key=jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(out_fast.rgb_map),
+                                   np.asarray(out_slow.rgb_map), atol=1e-6)
+
 
 @pytest.mark.slow
 class TestTensoRFTrain:
