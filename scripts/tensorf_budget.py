@@ -142,15 +142,22 @@ def main():
     while trainer.global_step < args.steps:
         n = min(args.val_every, args.steps - trainer.global_step)
         pre = trainer.global_step
+        t0 = time.perf_counter()
         m = trainer.train(rays, rgbs, n_iters=n,
                           key=jax.random.fold_in(jax.random.PRNGKey(1), pre))
+        jax.block_until_ready(trainer.params)
+        t_train = time.perf_counter() - t0
         if pre < max(train_cfg.update_alphamask_list) <= trainer.global_step:
             rays, rgbs = refilter(rays, rgbs)
+        t0 = time.perf_counter()
         vals = []
         for vr, gt in zip(val_rays, val_gt):
             rgb, _ = trainer.render_rays(vr, chunk=8192)
             vals.append(float(psnr_fn(rgb.reshape(args.size, args.size, 3), gt)))
+        t_val = time.perf_counter() - t0
+        t0 = time.perf_counter()
         save_tensorf_ckpt(args.ckpt, trainer, a.get("model_name", "TensorVMSplit"))
+        t_ckpt = time.perf_counter() - t0
         dt = time.perf_counter() - wall0
         emit(event="tensorf_budget_log", step=trainer.global_step,
              train_psnr=round(float(m["psnr"]), 2),
@@ -159,7 +166,11 @@ def main():
              grid_size=list(trainer.geom.grid_size),
              n_train_rays=int(rays.shape[0]),
              it_s=round((trainer.global_step - it0) / dt, 1),
-             wall_s=round(dt, 1))
+             wall_s=round(dt, 1),
+             # chunk decomposition (PERF_NOTES par.14): marginal train vs
+             # val renders vs ckpt save (tunnel D2H measured at 1.7 MB/s)
+             t_train_s=round(t_train, 1), t_val_s=round(t_val, 1),
+             t_ckpt_s=round(t_ckpt, 1))
     emit(event="tensorf_budget_done", steps=trainer.global_step,
          wall_s=round(time.perf_counter() - wall0, 1))
 
