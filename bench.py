@@ -186,6 +186,63 @@ def measure_garf_train():
             "iters_per_s": steps / dt}
 
 
+def measure_tensorf_train():
+    """TensoRF train throughput at the Coffee-budget shape (tensorf-myc).
+
+    The reference publishes no TensoRF iters/s, so this reports absolute
+    rays/s/chip at the hardest stage of the Coffee 30k schedule: 300^3
+    VM-split voxels, batch 4096, the real 256^3 alpha mask (corner-dilated
+    single-gather gate, PERF_NOTES par.14) and the Coffee regularizers
+    (TV 0.3 x2 + L1). Shape-parity: tensorf-myc/configs/Coffee.txt:11 +
+    tensorf-myc/train.py (N_voxel_final 27e6, batch_size 4096)."""
+    from myc_nerfs_tpu.models import tensorf as tf
+    from myc_nerfs_tpu.train import tensorf_trainer as tt
+
+    mcfg = tf.TensoRFConfig(decomp="vm_split")
+    cfg = tt.TensoRFTrainConfig(
+        n_voxel_init=300 ** 3, batch_size=4096,
+        tv_weight_density=0.3, tv_weight_app=0.3,
+        l1_weight_initial=4e-5, l1_weight_rest=2e-5)
+    aabb = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]], np.float32)
+    trainer = tt.TensoRFTrainer(mcfg, cfg, aabb, jax.random.PRNGKey(0))
+    # ball-shaped 256^3 alpha volume (~real-scene pass rate), then the
+    # production corner-dilated nearest-gather gate
+    reso = 256
+    g = (jnp.arange(reso) + 0.5) / reso - 0.5
+    r = jnp.sqrt(g[:, None, None] ** 2 + g[None, :, None] ** 2
+                 + g[None, None, :] ** 2)
+    trainer.buffers = dict(trainer.buffers)
+    trainer.buffers["alpha_volume"] = (r < 0.35).astype(jnp.float32)
+    trainer.buffers["alpha_aabb"] = jnp.asarray(aabb)
+    trainer.buffers = tf.prepare_alpha_buffers(trainer.buffers)
+    trainer._rebuild(lr_scale=1.0)
+    key = jax.random.PRNGKey(1)
+    S = 16
+    n = S * cfg.batch_size
+    theta = jax.random.uniform(key, (n,)) * 6.28318
+    phi = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) * 3.14159
+    o = jnp.stack([3.0 * jnp.cos(theta) * jnp.sin(phi),
+                   3.0 * jnp.sin(theta) * jnp.sin(phi),
+                   3.0 * jnp.cos(phi)], -1)
+    d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    rays = jnp.concatenate([o, d], -1).reshape(S, cfg.batch_size, 6)
+    rgbs = jax.random.uniform(jax.random.fold_in(key, 2),
+                              (S, cfg.batch_size, 3))
+    p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                               rays, rgbs, key, jnp.int32(0))
+    trainer.params = p
+    host_sync(p)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        p, o, m = trainer.block_fn(trainer.params, trainer.opt_state,
+                                   rays, rgbs, jax.random.fold_in(key, i),
+                                   jnp.int32(16 * i))
+    host_sync(p)
+    dt = (time.perf_counter() - t0) / (reps * S)
+    return {"rays_per_s": cfg.batch_size / dt, "iters_per_s": 1.0 / dt}
+
+
 def _flagship_train_subprocess():
     import subprocess
 
@@ -292,6 +349,12 @@ def main():
         gres = {"rays_per_s": None, "iters_per_s": None,
                 "error": str(e)[:200]}
 
+    try:
+        tres = measure_tensorf_train()
+    except Exception as e:
+        tres = {"rays_per_s": None, "iters_per_s": None,
+                "error": str(e)[:200]}
+
     train_rate = res["train_rays_per_s"]
     print(json.dumps({
         "metric": "ngp_hash_train_throughput",
@@ -330,6 +393,14 @@ def main():
                                        if gres["iters_per_s"] is not None
                                        else None),
             **({"garf_train_error": gres["error"]} if "error" in gres else {}),
+            "tensorf_train_rays_per_s": (round(tres["rays_per_s"], 1)
+                                         if tres["rays_per_s"] is not None
+                                         else None),
+            "tensorf_train_iters_per_s": (round(tres["iters_per_s"], 2)
+                                          if tres["iters_per_s"] is not None
+                                          else None),
+            **({"tensorf_train_error": tres["error"]}
+               if "error" in tres else {}),
             "baseline": "0.54 Mrays/s train-side (133 it/s x 4096 rays), "
                         "instant-ngp on RTX 3090",
         },

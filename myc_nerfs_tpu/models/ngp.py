@@ -271,9 +271,28 @@ class NGPModel:
         return out.astype(jnp.float32)
 
 
+@jax.custom_jvp
 def density_activation(raw: jnp.ndarray) -> jnp.ndarray:
-    """Exponential (ENerfActivation::Exponential, ray_sampler_header.h:926-943)."""
-    return jnp.exp(raw)
+    """Exponential (ENerfActivation::Exponential, ray_sampler_header.h:926-943).
+
+    The forward guards overflow with min(raw, 30): exp(30)=1.1e13 already
+    composites to alpha=1 at any dt, while an unguarded inf would turn the
+    dt=0 padding lanes of the static-shape marcher into inf*0=NaN (the
+    reference never sees this case only because its dynamic compaction
+    drops dead samples before CalcRgb). The gradient clamps the exp
+    argument to +-15 exactly like the reference's
+    network_to_density_derivative (ray_sampler_header.h:1050-1056) — the
+    guard that keeps its fp16 training finite when a wide-MLP field
+    saturates (observed: the OriginNeRF flagship at lr 1e-2 NaNs within 3
+    steps without it)."""
+    return jnp.exp(jnp.minimum(raw, 30.0))
+
+
+@density_activation.defjvp
+def _density_activation_jvp(primals, tangents):
+    (raw,), (draw,) = primals, tangents
+    out = jnp.exp(jnp.minimum(raw, 30.0))
+    return out, jnp.exp(jnp.clip(raw, -15.0, 15.0)) * draw
 
 
 def rgb_activation(raw: jnp.ndarray) -> jnp.ndarray:

@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..models.ngp import density_activation
 from ..ops.compaction import compact_first_k
 from .composite import composite_rgb, composite_weights
 from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
@@ -321,7 +322,7 @@ def render_marched(model_apply, params, marched: MarchedRays,
     N, K, _ = marched.positions.shape
     raw = model_apply(params, marched.positions.reshape(-1, 3),
                       marched.dirs.reshape(-1, 3)).reshape(N, K, 4)
-    sigma = jnp.exp(raw[..., 3])
+    sigma = density_activation(raw[..., 3])
     rgb_s = jax.nn.sigmoid(raw[..., :3])
     weights, t_left = composite_weights(sigma, marched.dt, marched.valid,
                                         early_stop_eps)
@@ -373,7 +374,7 @@ def render_rays_ngp(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,
         else:
             raw_sigma = jax.lax.stop_gradient(
                 density_apply(params, marched.positions.reshape(-1, 3)))
-            sigma_det = jnp.exp(raw_sigma.reshape(N, K))
+            sigma_det = density_activation(raw_sigma.reshape(N, K))
         marched = compact_marched(marched, sigma_det, rcfg.n_compact,
                                   rcfg.early_stop_eps)
     return render_marched(model_apply, params, marched, bg_color,

@@ -143,7 +143,9 @@ def generate_grid_samples(cfg: OccupancyConfig, state: OccupancyState,
 def splat_max(cfg: OccupancyConfig, tmp_grid: jnp.ndarray,
               flat_idx: jnp.ndarray, raw_density: jnp.ndarray) -> jnp.ndarray:
     """Scatter-max exp(raw) * MIN_CONE_STEPSIZE into tmp (splat kernel)."""
-    optical = jnp.exp(raw_density) * cfg.min_cone_stepsize
+    # min(raw, 30) guards the same overflow as density_activation (an inf
+    # would ride the EMA and poison mean_density); exp(30) >> any threshold
+    optical = jnp.exp(jnp.minimum(raw_density, 30.0)) * cfg.min_cone_stepsize
     flat = tmp_grid.reshape(-1)
     flat = flat.at[flat_idx].max(optical)
     return flat.reshape(tmp_grid.shape)

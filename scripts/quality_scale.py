@@ -42,7 +42,20 @@ SCALE, OFF = 0.33, 0.5
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="brick2",
-                    choices=["brick", "brick2", "brick3", "hash"])
+                    choices=["brick", "brick2", "brick3", "hash",
+                             "flagship"])
+    ap.add_argument("--lr", type=float, default=1e-2,
+                    help="1e-2 = the reference value for both NGP "
+                         "(Easyship.py:84) and OriginNeRF (nerf_base.py); "
+                         "the flagship freq-PE MLP saturates at 1e-2 under "
+                         "plain Adam (the reference escapes via its fp16 "
+                         "GradScaler's skip-step) — use ~1e-3 for flagship "
+                         "quality runs")
+    ap.add_argument("--n_coarse", type=int, default=128,
+                    help="coarse march probes per ray (train-time sample "
+                         "placement; 64 is the candidate fast setting from "
+                         "PERF_NOTES par.9c, gated on this script's val "
+                         "PSNR matching the 128 run)")
     ap.add_argument("--steps", type=int, default=6000)
     ap.add_argument("--scene", default="detail",
                     choices=["detail", "outer", "cascade"])
@@ -119,7 +132,8 @@ def main():
                       "wall_s": round(time.perf_counter() - t_scene, 1),
                       "train_rays": int(tr_o.shape[0])}), flush=True)
 
-    grid_impl = {"hash": "hash"}.get(args.variant, args.variant)
+    grid_impl = {"hash": "hash", "flagship": "brick3"}.get(
+        args.variant, args.variant)
     fused = args.variant != "hash"
     # reference level derivation: desired resolution scales with aabb_scale
     # (grid_encode.py:18-35 via configs' aabb_scale)
@@ -127,16 +141,24 @@ def main():
         grid=ngp.HashGridConfig(aabb_scale=args.aabb_scale),
         use_bf16=True, grid_impl=grid_impl)
     rcfg = NGPRenderConfig(
-        aabb_scale=args.aabb_scale, n_coarse=128, n_samples=64,
+        aabb_scale=args.aabb_scale, n_coarse=args.n_coarse, n_samples=64,
         n_compact=args.n_compact,
         near_distance=0.05, fused_march=fused,
         compact_source="grid" if fused else "network")
-    tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=args.batch,
+    tcfg = NGPTrainConfig(lr=args.lr, n_rays_per_batch=args.batch,
                           target_batch_size=1 << 18,
                           n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
                           decay_start=20000, update_den_freq=16,
                           tot_train_steps=args.steps)
-    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+    model = None
+    if args.variant == "flagship":
+        # the zero-gather MXU field behind the same marcher (bench flagship)
+        from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
+                                                   OriginNeRFModel)
+
+        model = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
+    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0),
+                         model=model)
 
     start_step = 0
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
@@ -210,7 +232,7 @@ def main():
     print(json.dumps({
         "variant": args.variant, "scene": args.scene,
         "aabb_scale": args.aabb_scale, "n_compact": args.n_compact,
-        "steps": it,
+        "n_coarse": args.n_coarse, "steps": it,
         "train_psnr": round(float(m["psnr"]), 2),
         "val_psnr": round(float(np.mean(ps)), 2),
         "val_psnrs": [round(p, 2) for p in ps],

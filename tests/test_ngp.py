@@ -623,3 +623,76 @@ class TestGridUpdateWarp:
         # peak; the pre-fix unwarped code would have splatted hot cells
         # around 0.85 * G here
         assert grid[0].max() < 1e-3, grid[0].max()
+
+
+class TestDensityActivation:
+    """Overflow-guarded exp (ray_sampler_header.h:926-943 forward,
+    :1050-1056 clamped derivative)."""
+
+    def test_matches_exp_in_normal_range(self):
+        raw = jnp.linspace(-20.0, 14.0, 64)
+        np.testing.assert_allclose(np.asarray(ngp.density_activation(raw)),
+                                   np.exp(np.asarray(raw)), rtol=1e-6)
+
+    def test_forward_finite_and_grad_clamped_at_saturation(self):
+        # forward: min(raw, 30) keeps exp finite even at fp-large raw
+        big = jnp.asarray([50.0, 100.0, 1000.0])
+        out = ngp.density_activation(big)
+        assert bool(jnp.isfinite(out).all())
+        np.testing.assert_allclose(np.asarray(out), np.exp(30.0), rtol=1e-6)
+        # gradient: exp(clamp(raw, -15, 15)) — the reference's derivative
+        g = jax.grad(lambda r: ngp.density_activation(r).sum())(big)
+        np.testing.assert_allclose(np.asarray(g), np.exp(15.0), rtol=1e-6)
+        g_lo = jax.grad(ngp.density_activation)(jnp.asarray(-40.0))
+        np.testing.assert_allclose(float(g_lo), np.exp(-15.0), rtol=1e-6)
+
+    def test_saturated_field_composites_without_nan(self):
+        # dt=0 padding lanes x inf density was the NaN mechanism: a huge
+        # raw density through the compositor must stay finite (the
+        # flagship at lr 1e-2 hits this within 3 steps pre-fix)
+        from myc_nerfs_tpu.render.composite import (composite_rgb,
+                                                    composite_weights)
+
+        sigma = ngp.density_activation(jnp.full((4, 8), 200.0))
+        dt = jnp.zeros((4, 8)).at[:, :2].set(1e-3)   # 6 dead padding lanes
+        valid = dt > 0
+        w, t_left = composite_weights(sigma, dt, valid, 1e-4)
+        rgb = composite_rgb(jnp.full((4, 8, 3), 0.5), w, t_left,
+                            jnp.ones((3,)))
+        assert bool(jnp.isfinite(w).all() and jnp.isfinite(rgb).all())
+
+    def test_flagship_train_step_stays_finite_at_reference_lr(self):
+        # regression: OriginNeRF + lr 1e-2 (nerf_base.py value parity)
+        # diverged to NaN params within 3 steps before the clamped-grad
+        # activation; it must now stay finite (saturated is acceptable —
+        # recovery needs the real lr schedule, quality gate in
+        # quality_r4_log flagship runs)
+        from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
+                                                   OriginNeRFModel)
+
+        mcfg = ngp.NGPModelConfig(
+            grid=ngp.HashGridConfig(log2_hashmap_size=12),
+            use_bf16=True, grid_impl="brick3")
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=16,
+                               n_compact=8, near_distance=0.05)
+        tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=64,
+                              target_batch_size=1 << 18, update_den_freq=16)
+        model = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
+                                                 W=64, D=2))
+        tr = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0), model=model)
+        key = jax.random.PRNGKey(1)
+        tr.state = tr.state._replace(occ=tr.grid_update(
+            tr.state.occ, tr.state.params, key))
+        o = jnp.asarray(np.random.default_rng(0).normal(size=(64, 3)),
+                        jnp.float32)
+        o = 0.5 + 1.2 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+        d = 0.5 - o
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        tgt = jnp.full((64, 3), 0.5)
+        for i in range(6):
+            key, k = jax.random.split(key)
+            st, m = tr._step_fn(tr.state, o, d, tgt,
+                                jnp.asarray(tcfg.background_color), k)
+            tr.state = st
+        assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
+                   for l in jax.tree_util.tree_leaves(tr.state.params))
