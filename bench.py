@@ -91,7 +91,7 @@ def measure_render(render_fn, params, rays_o, rays_d):
 
 
 def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
-                      n_samples=64):
+                      n_samples=64, n_coarse=128):
     """Full training pipeline throughput at reference config."""
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
     from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
@@ -100,7 +100,8 @@ def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
     occ_cfg, occ_ball = occupancy_ball()
     mcfg = NGPModelConfig(grid=HashGridConfig(), use_bf16=True,
                           grid_impl=grid_impl)
-    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=n_samples)
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse,
+                           n_samples=n_samples)
     tcfg = NGPTrainConfig(n_rays_per_batch=4096, target_batch_size=1 << 18,
                           n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
                           update_den_freq=steps_per_block)
@@ -191,14 +192,19 @@ def measure_tensorf_train():
 
     The reference publishes no TensoRF iters/s, so this reports absolute
     rays/s/chip at the hardest stage of the Coffee 30k schedule: 300^3
-    VM-split voxels, batch 4096, the real 256^3 alpha mask (corner-dilated
-    single-gather gate, PERF_NOTES par.14) and the Coffee regularizers
-    (TV 0.3 x2 + L1). Shape-parity: tensorf-myc/configs/Coffee.txt:11 +
-    tensorf-myc/train.py (N_voxel_final 27e6, batch_size 4096)."""
+    VM-split voxels, batch 4096, step_ratio 0.5 (opt.py:127 -> n_samples
+    1036 per ray — the REAL sample count; earlier probes at step_ratio 2.0
+    ran 4x fewer), the real 256^3 alpha mask (corner-dilated single-gather
+    gate, PERF_NOTES par.14), the static density-sample compaction at the
+    CLI-default budget 256 (the reference's ray_valid boolean indexing,
+    tensorBase.py:497-504) and the Coffee regularizers (TV 0.3 x2 + L1).
+    Shape-parity: tensorf-myc/configs/Coffee.txt:11 + tensorf-myc/train.py
+    (N_voxel_final 27e6, batch_size 4096)."""
     from myc_nerfs_tpu.models import tensorf as tf
     from myc_nerfs_tpu.train import tensorf_trainer as tt
 
-    mcfg = tf.TensoRFConfig(decomp="vm_split")
+    mcfg = tf.TensoRFConfig(decomp="vm_split", step_ratio=0.5,
+                            density_sample_budget=256)
     cfg = tt.TensoRFTrainConfig(
         n_voxel_init=300 ** 3, batch_size=4096,
         tv_weight_density=0.3, tv_weight_app=0.3,
@@ -283,9 +289,14 @@ def flagship_train_main():
     # (update_den_freq, density_grid_sampler.py:251-260); rounds 2-3 used 4
     # to dodge a remote-compile limit that no longer exists (PERF_NOTES
     # §10) and paid ~2 extra dispatch floors per 4 steps for it.
+    # n_coarse=64 for the flagship: quality-gated on the 256^2 detail scene
+    # at 6000 steps — val PSNR 21.41 (64) vs 21.32 (128), quality_r4_log
+    # flagship_ncoarse_gate events — and worth ~5.8 ms/step (PERF_NOTES
+    # par.9c). The hash headline keeps n_coarse=128 (unchanged definition).
     out = {}
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
-    res = measure_ngp_train(model=flagship, steps_per_block=16, n_samples=32)
+    res = measure_ngp_train(model=flagship, steps_per_block=16, n_samples=32,
+                            n_coarse=64)
     out.update({"train_rays_per_s": res["train_rays_per_s"],
                 "iters_per_s": res["iters_per_s"],
                 "rays_per_batch": res["rays_per_batch"]})
@@ -297,7 +308,7 @@ def flagship_train_main():
         remat = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
                                                  remat=True))
         res64 = measure_ngp_train(model=remat, steps_per_block=16,
-                                  n_samples=64)
+                                  n_samples=64, n_coarse=64)
         out.update({"train_rays_per_s_k64_remat": res64["train_rays_per_s"],
                     "iters_per_s_k64_remat": res64["iters_per_s"],
                     "rays_per_batch_k64": res64["rays_per_batch"]})

@@ -158,6 +158,8 @@ def nerfpp_forward(model_cfg: tf.TensoRFConfig, pp_cfg: NerfPPConfig,
         valid = jnp.logical_and(valid, occ)
 
     xyz = tf.normalize_coord(aabb, pts)
+    valid, xyz, fg_depth, dists = tf.compact_density_samples(
+        model_cfg, buffers, valid, xyz, fg_depth, dists)
     sigma = jnp.where(valid, tf.feature2density(
         model_cfg, tf.compute_density_feature(model_cfg, params, xyz)), 0.0)
     alpha, weight, _ = raw2alpha(sigma, dists * model_cfg.distance_scale)
@@ -178,7 +180,7 @@ def nerfpp_forward(model_cfg: tf.TensoRFConfig, pp_cfg: NerfPPConfig,
                           apply(params["mlp"], xyz_s, dirs_s, app_feat), 0.0)
         fg_rgb_map = (w_s[..., None] * rgb_s).sum(-2)
     else:
-        dirs = jnp.broadcast_to(ray_d[:, None, :], pts.shape)
+        dirs = jnp.broadcast_to(ray_d[:, None, :], xyz.shape)
         app_feat = tf.compute_app_feature(model_cfg, params, xyz)
         rgb_s = jnp.where(app_mask[..., None],
                           apply(params["mlp"], xyz, dirs, app_feat), 0.0)

@@ -120,6 +120,8 @@ def ref_tensorf_forward(cfg: tf.TensoRFConfig, geom: tf.StageGeom, params,
         valid = jnp.logical_and(valid, occ)
 
     xyz = tf.normalize_coord(buffers["aabb"], pts)
+    valid, xyz, z_vals, dists = tf.compact_density_samples(
+        cfg, buffers, valid, xyz, z_vals, dists)
     sigma = jnp.where(valid, tf.feature2density(
         cfg, tf.compute_density_feature(cfg, params, xyz)), 0.0)
     alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)

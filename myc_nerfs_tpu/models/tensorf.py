@@ -68,6 +68,15 @@ class TensoRFConfig:
     # path runs. Post-mask rays with more survivors than the budget drop
     # the deepest ones (T there is < weight_thres * S in practice).
     app_sample_budget: int = 96
+    # static-shape resolution of the reference's ray_valid boolean indexing
+    # (tensorBase.py:497-504): density factors are only evaluated at samples
+    # that pass the AABB clip + alpha-mask gates, compacted to at most this
+    # many per ray (first-K by depth). Composite-exact whenever a ray has
+    # <= budget gated samples (dropped samples carry sigma=0 and so change
+    # neither transmittance nor any weight); rays with more drop the
+    # deepest. 0 = evaluate all samples. Gated like app_sample_budget on
+    # the alpha mask existing — pre-mask stages run the exact full path.
+    density_sample_budget: int = 0
 
 
 class StageGeom(NamedTuple):
@@ -426,6 +435,33 @@ def alpha_mask_valid(buffers, xyz: jnp.ndarray) -> Optional[jnp.ndarray]:
                              buffers["alpha_aabb"], xyz) > 0
 
 
+def compact_density_samples(cfg: TensoRFConfig, buffers, valid: jnp.ndarray,
+                            xyz: jnp.ndarray, z_vals: jnp.ndarray,
+                            dists: jnp.ndarray):
+    """First-K compaction of gate-passing samples before the density factors.
+
+    Static-shape resolution of the reference's dynamic ``ray_valid`` boolean
+    indexing (tensorBase.py:497-504): the reference evaluates density only at
+    samples inside the AABB that pass the alpha mask; here those survivors
+    are compacted to ``cfg.density_sample_budget`` slots per ray so every
+    downstream plane/line gather (the §5d hot loop) runs on the compacted
+    set. Composite-exact when a ray has <= budget survivors: dropped samples
+    have sigma = 0, so they contribute neither transmittance attenuation nor
+    weight, and per-sample ``dists`` are kept with their samples. Gated on
+    the alpha mask existing (same as app_sample_budget).
+
+    Returns (valid, xyz, z_vals, dists), each [..., K(, 3)].
+    """
+    kd = cfg.density_sample_budget
+    if not kd or kd >= xyz.shape[-2] or buffers.get("alpha_volume") is None:
+        return valid, xyz, z_vals, dists
+    idx, keep = compact_first_k(valid, kd)
+    xyz = jnp.take_along_axis(xyz, idx[..., None], axis=-2)
+    z_vals = jnp.take_along_axis(z_vals, idx, axis=-1)
+    dists = jnp.take_along_axis(dists, idx, axis=-1)
+    return keep, xyz, z_vals, dists
+
+
 class TensoRFOut(NamedTuple):
     rgb_map: jnp.ndarray
     depth_map: jnp.ndarray
@@ -461,13 +497,15 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
         valid = jnp.logical_and(valid, occ)
 
     xyz = normalize_coord(buffers["aabb"], pts)
+    valid, xyz, z_vals, dists = compact_density_samples(
+        cfg, buffers, valid, xyz, z_vals, dists)
     sigma_feat = compute_density_feature(cfg, params, xyz)
     sigma = jnp.where(valid, feature2density(cfg, sigma_feat), 0.0)
 
     alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres
 
-    dirs = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], xyz.shape)
     K = cfg.app_sample_budget
     use_budget = (K and K < xyz.shape[1]
                   and buffers.get("alpha_volume") is not None)

@@ -122,7 +122,8 @@ def measure_variant(variant, label, n_voxels=160 ** 3):
 
 def measure_budget_shaped(label, mask_reso=256, regs=True,
                           n_voxels=300 ** 3, batch=4096,
-                          mask_nearest=False):
+                          mask_nearest=False, step_ratio=2.0,
+                          density_budget=0):
     """Decompose the §5d-vs-budget-run gap: the Coffee 30k budget run
     sustains ~0.85-0.9 s/iter of pure train at the 300^3 stage while §5d's
     marginal probe measured 252 ms. Two config differences are candidates:
@@ -132,7 +133,8 @@ def measure_budget_shaped(label, mask_reso=256, regs=True,
     L1 regularizers off. This measures the marginal block rate with both
     matched to the budget run, togglable for A/B.
     """
-    mcfg = tf.TensoRFConfig(decomp="vm_split")
+    mcfg = tf.TensoRFConfig(decomp="vm_split", step_ratio=step_ratio,
+                            density_sample_budget=density_budget)
     kw = dict(n_voxel_init=n_voxels, batch_size=batch)
     if regs:
         kw.update(tv_weight_density=0.3, tv_weight_app=0.3,
@@ -172,7 +174,8 @@ def measure_budget_shaped(label, mask_reso=256, regs=True,
     dt = (time.perf_counter() - t0) / (reps * S)
     emit(label, ms_per_iter=round(dt * 1e3, 2),
          iters_per_s=round(1.0 / dt, 1), mask_reso=mask_reso, regs=regs,
-         mask_nearest=mask_nearest)
+         mask_nearest=mask_nearest, step_ratio=step_ratio,
+         n_samples=trainer.geom.n_samples, density_budget=density_budget)
 
 
 if __name__ == "__main__":
@@ -192,3 +195,18 @@ if __name__ == "__main__":
         # the shipped fix: one nearest gather on the corner-dilated mask
         measure_budget_shaped("tensorf_300cube_mask_nearest",
                               mask_nearest=True)
+    if which in ("density", "all"):
+        # The REAL Coffee-budget shape: the CLI/budget runner default is
+        # step_ratio 0.5 (opt.py:127) -> n_samples 1036 at the 300^3 stage,
+        # 4x the step_ratio=2.0 probes above. Baseline, then the static
+        # density-sample compaction (the reference's ray_valid boolean
+        # indexing, tensorBase.py:497-504) at descending budgets.
+        measure_budget_shaped("tensorf_300cube_sr05_base",
+                              mask_nearest=True, step_ratio=0.5)
+        for kd in (384, 256, 128):
+            measure_budget_shaped(f"tensorf_300cube_sr05_dbudget{kd}",
+                                  mask_nearest=True, step_ratio=0.5,
+                                  density_budget=kd)
+        # and the effect at the legacy probe shape for continuity with par.14
+        measure_budget_shaped("tensorf_300cube_sr2_dbudget128",
+                              mask_nearest=True, density_budget=128)

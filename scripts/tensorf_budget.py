@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--far", type=float, default=None)
     ap.add_argument("--radii", type=float, default=None,
                     help="NeRF++ background sphere radius (Scarf)")
+    ap.add_argument("--density_budget", type=int, default=None,
+                    help="override density_sample_budget (static ray_valid "
+                         "compaction; 0 = exact full-sample path)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -96,6 +99,8 @@ def main():
             geom_overrides[k] = v
     if geom_overrides:
         a.pop("near_far", None)  # near/far take effect (build_configs prefers near_far)
+    if args.density_budget is not None:
+        a["density_sample_budget"] = args.density_budget
     model_cfg, train_cfg = build_configs(a)
     aabb = np.asarray([[-1.2] * 3, [1.2] * 3], np.float32)
 

@@ -146,6 +146,116 @@ class TestFactors:
                                    np.asarray(out_slow.rgb_map), atol=1e-6)
 
 
+class TestDensityBudget:
+    """compact_density_samples: the static ray_valid compaction
+    (tensorBase.py:497-504) must be composite-exact under a sufficient
+    budget and degrade gracefully when truncating."""
+
+    def _setup(self):
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (16, 16, 16))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB,
+                                          (16, 16, 16))
+        buffers, _ = tf.update_alpha_mask(cfg, geom, params, buffers,
+                                          (16, 16, 16))
+        scene = make_scene(n_views=2, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)[:64]
+        return cfg, geom, params, buffers, rays
+
+    def _sufficient_budget(self, cfg, geom, buffers, rays, key):
+        # replicate the forward's gate to find the true max survivor count
+        pts, _, valid = tf.sample_ray(buffers["aabb"], rays[:, :3],
+                                      rays[:, 3:6], geom.step_size,
+                                      geom.n_samples, cfg.near_far, key)
+        occ = tf.alpha_mask_valid(buffers, pts)
+        counts = np.asarray(jnp.logical_and(valid, occ).sum(-1))
+        bud = int(counts.max())
+        assert 0 < bud < geom.n_samples, "scene must gate some samples"
+        return bud
+
+    def test_exact_when_budget_sufficient(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        bud = self._sufficient_budget(cfg, geom, buffers, rays, key)
+        out_full = tf.tensorf_forward(cfg, geom, params, buffers, rays, key=key)
+        cfg_b = replace(cfg, density_sample_budget=bud)
+        out_b = tf.tensorf_forward(cfg_b, geom, params, buffers, rays, key=key)
+        assert out_b.weight.shape[-1] == bud
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_full.rgb_map), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b.depth_map),
+                                   np.asarray(out_full.depth_map), atol=1e-4)
+
+    def test_grads_match_when_budget_sufficient(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        bud = self._sufficient_budget(cfg, geom, buffers, rays, key)
+        target = jnp.ones((rays.shape[0], 3)) * 0.5
+
+        def loss(p, c):
+            out = tf.tensorf_forward(c, geom, p, buffers, rays, key=key)
+            return jnp.mean((out.rgb_map - target) ** 2)
+
+        g_full = jax.grad(loss)(params, cfg)
+        g_b = jax.grad(loss)(params, replace(cfg, density_sample_budget=bud))
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_truncation_stays_finite_and_bounded(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        cfg_t = replace(cfg, density_sample_budget=2)
+        out = tf.tensorf_forward(cfg_t, geom, params, buffers, rays, key=key)
+        assert bool(jnp.isfinite(out.rgb_map).all())
+        assert float(out.rgb_map.min()) >= 0.0
+        assert float(out.rgb_map.max()) <= 1.0
+
+    def test_inactive_without_alpha_mask(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        no_mask = {k: v for k, v in buffers.items()
+                   if not k.startswith("alpha_")}
+        no_mask["alpha_volume"] = None
+        key = jax.random.PRNGKey(3)
+        cfg_b = replace(cfg, density_sample_budget=4)
+        out = tf.tensorf_forward(cfg_b, geom, params, no_mask, rays, key=key)
+        # budget must NOT activate pre-mask: full sample axis retained
+        assert out.weight.shape[-1] == geom.n_samples
+
+    def test_ref_and_nerfpp_exact(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        bud = self._sufficient_budget(cfg, geom, buffers, rays, key)
+        rparams = ref_tensorf.init_ref_heads(jax.random.PRNGKey(1), cfg,
+                                             dict(params))
+        r_full = ref_tensorf.ref_tensorf_forward(cfg, geom, rparams, buffers,
+                                                 rays, key=key)
+        r_b = ref_tensorf.ref_tensorf_forward(
+            replace(cfg, density_sample_budget=bud), geom, rparams, buffers,
+            rays, key=key)
+        np.testing.assert_allclose(np.asarray(r_b.rgb_map),
+                                   np.asarray(r_full.rgb_map), atol=1e-5)
+        # NeRF++ samples its own fg depths (uniform to sphere exit), so a
+        # budget of S-1 may truncate at most the deepest gated sample —
+        # assert the generous-budget output tracks the exact path closely.
+        pp_cfg = nerfpp.NerfPPConfig(radii=6.0, bg_samples=16)
+        pparams = dict(params)
+        pparams["bg_net"] = nerfpp.init_nerfpp(jax.random.PRNGKey(2), pp_cfg)
+        n_full = nerfpp.nerfpp_forward(cfg, pp_cfg, geom, pparams, buffers,
+                                       rays, key=key)
+        n_b = nerfpp.nerfpp_forward(
+            replace(cfg, density_sample_budget=geom.n_samples - 1), pp_cfg,
+            geom, pparams, buffers, rays, key=key)
+        diff = float(jnp.abs(n_b.rgb_map - n_full.rgb_map).max())
+        assert diff < 0.05  # tail truncation of at most one gated sample
+
+
 @pytest.mark.slow
 class TestTensoRFTrain:
     def test_staged_overfit(self):
