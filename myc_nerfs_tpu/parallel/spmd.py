@@ -558,7 +558,9 @@ def _place_nerf_state(mesh, state, n_images: int, replicate: bool = False):
 
 def multichip_nerf_train_block(mesh, n_images: int = 8, size: int = 10,
                                n_steps: int = 2, seed: int = 0,
-                               replicate: bool = False):
+                               replicate: bool = False,
+                               rand_rays: int = None,
+                               sample_intvs: int = 8):
     """Image-axis DP for the BARF/GARF stack: images/poses/intrinsics and
     the per-image se(3) corrections are sharded over "data" (each chip
     refines its own cameras — pose gradients never cross chips), the NeRF
@@ -572,7 +574,8 @@ def multichip_nerf_train_block(mesh, n_images: int = 8, size: int = 10,
     scene = make_scene(n_views=n_images, H=size, W=size)
     cfg = nt.NeRFTrainConfig(model="garf", refine_pose=True,
                              camera_noise=0.05, start_pose_correct_iter=0,
-                             rand_rays=n_images * 16, sample_intvs=8,
+                             rand_rays=rand_rays or n_images * 16,
+                             sample_intvs=sample_intvs,
                              max_iter=64, mlp_tile=False)
     model, state = nt.init_state(cfg, jax.random.PRNGKey(seed), n_images)
     state = _place_nerf_state(mesh, state, n_images, replicate=replicate)

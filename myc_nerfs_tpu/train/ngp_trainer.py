@@ -35,6 +35,25 @@ def huber_loss(x: jnp.ndarray, y: jnp.ndarray, delta: float = 0.1) -> jnp.ndarra
     return jnp.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta)
 
 
+_LADDER_MANTISSAS = (1.0, 1.25, 1.5, 1.75)
+
+
+def _ladder_floor(rays: int) -> int:
+    """Largest quarter-octave rung ({1, 1.25, 1.5, 1.75} x 2^k) <= rays.
+
+    Bounds the number of distinct compiled batch shapes to 4 per octave
+    while tracking the reference's fine-grained ray-count adaptation
+    (density_grid_sampler.py:262-267) to within -12.5%."""
+    rays = max(128, int(rays))
+    k = int(np.floor(np.log2(rays)))
+    best = 1 << k
+    for m in _LADDER_MANTISSAS:
+        cand = int(m * (1 << k))
+        if cand <= rays:
+            best = max(best, cand)
+    return best
+
+
 @dataclasses.dataclass(frozen=True)
 class NGPTrainConfig:
     """Config parity with projects/ngp/configs/*.py."""
@@ -276,16 +295,17 @@ class NGPTrainer:
     def _update_batch_rays(self):
         """Resize the ray batch toward target_batch_size samples
         (update_batch_rays, density_grid_sampler.py:262-267). Host scalar.
-        Snapped to powers of two: every distinct batch shape costs a fresh
-        XLA compile (slow through the remote-compile tunnel), so the
-        adaptation walks a small ladder instead of 128-ray increments."""
+        Snapped DOWN to a quarter-octave ladder ({1, 1.25, 1.5, 1.75} x 2^k):
+        every distinct batch shape costs a fresh XLA compile (slow through
+        the remote-compile tunnel), so the adaptation walks a small ladder
+        instead of the reference's 128-ray increments — but flooring to the
+        ladder keeps the realized sample count AT OR UNDER the reference's
+        samples-per-batch budget (Easyship.py:95) instead of overshooting
+        it by up to 41% the way nearest-pow2 rounding can."""
         measured = max(self._measured_samples / max(self._measure_count, 1), 1.0)
         rays = int(self.n_rays_per_batch * self.cfg.target_batch_size / measured)
         rays = max(128, min(rays, self.cfg.target_batch_size))
-        snapped = 1 << int(round(np.log2(rays)))  # nearest pow2
-        if snapped > self.cfg.target_batch_size:  # non-pow2 cap: don't overshoot
-            snapped >>= 1
-        self.n_rays_per_batch = snapped
+        self.n_rays_per_batch = _ladder_floor(rays)
         self._measured_samples = 0.0
         self._measure_count = 0
 

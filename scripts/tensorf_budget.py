@@ -121,6 +121,7 @@ def main():
          val_views=val_idx, train_rays=int(rays.shape[0]),
          upsamp=list(train_cfg.upsamp_list),
          alphamask=list(train_cfg.update_alphamask_list),
+         density_budget=model_cfg.density_sample_budget,
          geom_overrides=geom_overrides or None,
          scene_s=round(time.perf_counter() - t_scene, 1))
 

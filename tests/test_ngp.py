@@ -696,3 +696,41 @@ class TestDensityActivation:
             tr.state = st
         assert all(bool(jnp.isfinite(l.astype(jnp.float32)).all())
                    for l in jax.tree_util.tree_leaves(tr.state.params))
+
+
+class TestBatchLadder:
+    """Quarter-octave ray-batch adaptation ladder (_ladder_floor)."""
+
+    def test_ladder_floor_values(self):
+        from myc_nerfs_tpu.train.ngp_trainer import _ladder_floor
+
+        assert _ladder_floor(8192) == 8192
+        assert _ladder_floor(13107) == 12288       # 1.5 * 2^13
+        assert _ladder_floor(10922) == 10240       # 1.25 * 2^13
+        assert _ladder_floor(16383) == 14336       # 1.75 * 2^13
+        assert _ladder_floor(16384) == 16384
+        assert _ladder_floor(1) == 128             # lower bound
+        # never exceeds the input (the samples-budget guarantee)
+        for r in [128, 129, 200, 333, 4097, 999999]:
+            assert _ladder_floor(r) <= max(r, 128)
+
+    def test_adaptation_respects_sample_budget(self):
+        """After adaptation, rays * measured-mean-samples <= target."""
+        from myc_nerfs_tpu.models import ngp
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+        from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig,
+                                                     NGPTrainer)
+
+        mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(
+            n_levels=4, log2_hashmap_size=12, desired_resolution=64.0))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=16)
+        tcfg = NGPTrainConfig(n_rays_per_batch=256,
+                              target_batch_size=1 << 12,
+                              n_grid_uniform=1 << 10, n_grid_nonuniform=0)
+        tr = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+        # synthetic measurement: mean 20 live samples/ray over one window
+        tr._measured_samples = 20.0 * 256 * 4
+        tr._measure_count = 4
+        tr._update_batch_rays()
+        assert tr.n_rays_per_batch * 20 <= tcfg.target_batch_size
+        assert tr.n_rays_per_batch == 192  # floor(4096/20)=204 -> 1.5*128
