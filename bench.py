@@ -91,7 +91,7 @@ def measure_render(render_fn, params, rays_o, rays_d):
 
 
 def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
-                      n_samples=64, n_coarse=128):
+                      n_samples=64, n_coarse=128, n_compact=32):
     """Full training pipeline throughput at reference config."""
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
     from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
@@ -101,7 +101,7 @@ def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
     mcfg = NGPModelConfig(grid=HashGridConfig(), use_bf16=True,
                           grid_impl=grid_impl)
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse,
-                           n_samples=n_samples)
+                           n_samples=n_samples, n_compact=n_compact)
     tcfg = NGPTrainConfig(n_rays_per_batch=4096, target_batch_size=1 << 18,
                           n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
                           update_den_freq=steps_per_block)

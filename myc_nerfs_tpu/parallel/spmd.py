@@ -456,30 +456,36 @@ def multichip_ngp_render(mesh, occ_cfg, rcfg, model_apply, params,
 
 
 def multichip_tensorf_train_block(mesh, n_rays: int = 64, n_steps: int = 2,
-                                  seed: int = 0, replicate: bool = False):
+                                  seed: int = 0, replicate: bool = False,
+                                  mcfg=None, tcfg=None):
     """Ray-axis DP for the TensoRF stack: the scanned train block
     (tensorf_trainer.make_train_block) with ray/rgb batches sharded over
     "data" and factor grids + shading MLP replicated — GSPMD inserts the
     gradient psum (SURVEY §2.5 DP row; the reference stack is single-GPU,
     tensorf-myc/train.py). ``replicate=True`` runs the identical program
-    fully replicated for parity checks. Returns (metrics, params).
+    fully replicated for parity checks. ``mcfg``/``tcfg`` override the toy
+    parity shapes (real-shape compile gates pass the Coffee config).
+    Returns (metrics, params).
     """
     from ..models import tensorf as tf_m
     from ..train import tensorf_trainer as tt
     from ..data.synthetic import orbit_poses
 
     aabb = np.array([[-1.2, -1.2, -1.2], [1.2, 1.2, 1.2]])
-    mcfg = tf_m.TensoRFConfig(density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4),
-                              app_dim=8, featureC=16, near_far=(1.5, 4.5),
-                              distance_scale=25.0, density_shift=-5.0,
-                              shading_mode="MLP_Fea")
-    tcfg = tt.TensoRFTrainConfig(
-        n_iters=n_steps, batch_size=n_rays, n_voxel_init=8 ** 3,
-        n_voxel_final=8 ** 3, upsamp_list=(), update_alphamask_list=(),
-        n_samples_cap=16)
+    if mcfg is None:
+        mcfg = tf_m.TensoRFConfig(density_n_comp=(2, 2, 2),
+                                  app_n_comp=(4, 4, 4),
+                                  app_dim=8, featureC=16, near_far=(1.5, 4.5),
+                                  distance_scale=25.0, density_shift=-5.0,
+                                  shading_mode="MLP_Fea")
+    if tcfg is None:
+        tcfg = tt.TensoRFTrainConfig(
+            n_iters=n_steps, batch_size=n_rays, n_voxel_init=8 ** 3,
+            n_voxel_final=8 ** 3, upsamp_list=(), update_alphamask_list=(),
+            n_samples_cap=16)
     trainer = tt.TensoRFTrainer(mcfg, tcfg, aabb, jax.random.PRNGKey(seed))
 
-    H = W = 8
+    H = W = max(8, int(np.ceil(np.sqrt(n_steps * n_rays / 4.0))))
     poses = orbit_poses(4)
     f = 1.2 * W
     intr = jnp.broadcast_to(

@@ -112,6 +112,51 @@ def main():
         flush=True)
     assert np.isfinite(rgb).all()
 
+    # third gate: GARF at the reference's Easyship shape — 2048 rays/iter x
+    # 128 samples/ray (barf-myc/options/Easyship.yaml:17,21), image-axis DP
+    # over all 8 devices, pose refinement on from step 0 so the se(3)
+    # correction gradients are in the compiled program.
+    t3 = time.perf_counter()
+    mesh_dp = mesh_lib.make_mesh(jax.devices()[:8], data=8, model=1)
+    _, gmetrics = spmd.multichip_nerf_train_block(
+        mesh_dp, n_images=8, size=64, n_steps=2,
+        rand_rays=2048, sample_intvs=128)
+    gloss = float(gmetrics["loss"])
+    print(json.dumps({
+        "event": "garf_done", "mesh": dict(mesh_dp.shape),
+        "rand_rays": 2048, "sample_intvs": 128, "loss": gloss,
+        "finite": bool(np.isfinite(gloss)),
+        "compile_plus_run_s": round(time.perf_counter() - t3, 1)}),
+        flush=True)
+    assert np.isfinite(gloss)
+
+    # fourth gate: TensoRF at the real Coffee end-stage shape — 300^3
+    # TensorVMSplit (N_voxel_final=27e6, configs/tensorf/Coffee.txt), comps
+    # 16/48, step_ratio 0.5 -> ~1033 samples/ray, ray-axis DP. Per-chip ray
+    # count is a free DP parameter, so batch 1024 keeps the CPU gate sane;
+    # the grid/sample/component shapes are what GSPMD partitions.
+    from myc_nerfs_tpu.models import tensorf as tf_m
+    from myc_nerfs_tpu.train import tensorf_trainer as tt
+
+    t4 = time.perf_counter()
+    tf_mcfg = tf_m.TensoRFConfig(
+        density_n_comp=(16, 16, 16), app_n_comp=(48, 48, 48),
+        near_far=(0.5, 6.0), step_ratio=0.5, shading_mode="MLP_Fea",
+        view_pe=2, fea_pe=2)
+    tf_tcfg = tt.TensoRFTrainConfig(
+        n_iters=2, batch_size=1024, n_voxel_init=27_000_000,
+        n_voxel_final=27_000_000, upsamp_list=(), update_alphamask_list=())
+    tmetrics, _ = spmd.multichip_tensorf_train_block(
+        mesh_dp, n_rays=1024, n_steps=2, mcfg=tf_mcfg, tcfg=tf_tcfg)
+    tmse = float(tmetrics["mse"])
+    print(json.dumps({
+        "event": "tensorf_done", "mesh": dict(mesh_dp.shape),
+        "grid": "300^3", "comps": [16, 48], "batch": 1024,
+        "mse": tmse, "finite": bool(np.isfinite(tmse)),
+        "compile_plus_run_s": round(time.perf_counter() - t4, 1)}),
+        flush=True)
+    assert np.isfinite(tmse)
+
 
 if __name__ == "__main__":
     main()
