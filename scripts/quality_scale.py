@@ -63,9 +63,9 @@ def main():
     ap.add_argument("--views", type=int, default=36)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--n_compact", type=int, default=32,
-                    help="live samples per ray (32 = validated parity "
-                         "config; larger for aabb_scale>1 evidence runs)")
+    ap.add_argument("--n_compact", type=int, default=20,
+                    help="live samples per ray (20 = shipped quality-gated "
+                         "default; larger for aabb_scale>1 evidence runs)")
     ap.add_argument("--val_every", type=int, default=0,
                     help="if >0, log val PSNR of view 0 at this cadence")
     ap.add_argument("--dump", default="",
