@@ -132,6 +132,29 @@ class TestRunNetCLI:
              "--task", "train", "--steps", "5"])
         assert os.path.exists(os.path.join(out, "model.ckpt"))
 
+    def test_scale_aware_march_budget_default(self):
+        """run_net picks the march budget from the scene scale: 20 is the
+        quality-gated aabb_scale=1 default (quality_r4_log ncompact_gate);
+        cascaded scenes (Easyship aabb_scale=8, configs/ngp/Easyship.py)
+        need ~64 or compaction undersamples the longer ray extent."""
+        import jax
+
+        from myc_nerfs_tpu.cli import run_net
+        from myc_nerfs_tpu.core.config import load_config
+
+        cfg = load_config(
+            os.path.join(REPO, "configs/ngp/demo_synthetic.py"))
+        trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert trainer.rcfg.n_compact == 20
+        cfg = load_config(os.path.join(REPO, "configs/ngp/Easyship.py"))
+        trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert trainer.rcfg.aabb_scale == 8
+        assert trainer.rcfg.n_compact == 64
+        # an explicit config value always wins
+        cfg["n_compact"] = 48
+        trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert trainer.rcfg.n_compact == 48
+
     def test_origin_nerf_train_smoke(self, in_tmp):
         """projects/nerf surface (VERDICT r3 missing #3): OriginNeRFNetworks
         + FrequencyEncoders through the registry/config path, train + test
