@@ -511,6 +511,54 @@ class TestFusedMarch:
                                    np.asarray(net_explicit.rgb), atol=1e-6)
 
 
+class TestFusedKSemantics:
+    def test_n_compact_is_the_live_sample_count_under_compaction(self):
+        """Under the fused march with a density_apply, the per-ray live
+        sample count is EXACTLY rcfg.n_compact and rcfg.n_samples is inert
+        — the contract bench.py's march-budget legs rely on (an inert
+        n_samples arg silently mislabeled the flagship K=64 leg,
+        PERF_NOTES par.16b)."""
+        import dataclasses
+
+        from myc_nerfs_tpu.models import ngp as ngp_mod
+        from myc_nerfs_tpu.render.ngp_render import (NGPRenderConfig,
+                                                     render_rays_ngp)
+
+        cfg = occ.OccupancyConfig(grid_size=32, n_cascades=1)
+        grid = np.zeros((1, 32, 32, 32), np.float32)
+        grid[0, 8:24, 8:24, 8:24] = 0.05
+        state = occ.init_occupancy(cfg)._replace(
+            density_grid=jnp.asarray(grid),
+            bitfield=jnp.asarray(grid > 0.0),
+            mean_density=jnp.asarray(grid[0].mean()))
+        model = ngp_mod.NGPModel(ngp_mod.NGPModelConfig(
+            grid=ngp_mod.HashGridConfig(n_levels=4, desired_resolution=64.0)))
+        params = model.init(jax.random.PRNGKey(0))
+        rays_o = jnp.asarray([[0.5, 0.5, -1.0]] * 4)
+        rays_d = jnp.asarray([[0.0, 0.0, 1.0]] * 4)
+        bg = jnp.ones(3)
+
+        base = NGPRenderConfig(aabb_scale=1, n_coarse=64, n_samples=16,
+                               n_compact=8, near_distance=0.0)
+        out8 = render_rays_ngp(cfg, base, model.apply, params, state,
+                               rays_o, rays_d, bg, None,
+                               density_apply=model.density_raw)
+        # n_samples is inert when compacting: doubling it changes nothing
+        out8b = render_rays_ngp(
+            cfg, dataclasses.replace(base, n_samples=32), model.apply,
+            params, state, rays_o, rays_d, bg, None,
+            density_apply=model.density_raw)
+        np.testing.assert_allclose(np.asarray(out8.rgb),
+                                   np.asarray(out8b.rgb), atol=0)
+        assert int(out8.n_samples.sum()) <= 8 * 4
+        # the march budget itself (n_compact) DOES change the program
+        out16 = render_rays_ngp(
+            cfg, dataclasses.replace(base, n_compact=16), model.apply,
+            params, state, rays_o, rays_d, bg, None,
+            density_apply=model.density_raw)
+        assert int(out16.n_samples.sum()) > int(out8.n_samples.sum())
+
+
 class TestKillAndResume:
     """NGP kill-and-resume mid-schedule (VERDICT r2 #3c): restoring the
     full state (params + Adam moments + EMA + occupancy grid + step) and
