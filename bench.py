@@ -302,8 +302,10 @@ def flagship_train_main():
     # par.9c). The hash headline keeps n_coarse=128 (unchanged definition).
     out = {}
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
+    # n_compact=32 pinned: the flagship's quality gates (flagship_ncoarse_gate)
+    # ran at 32; the ladder that gated 20 (PERF_NOTES par.16) is hash-only
     res = measure_ngp_train(model=flagship, steps_per_block=16, n_samples=32,
-                            n_coarse=64)
+                            n_coarse=64, n_compact=32)
     out.update({"train_rays_per_s": res["train_rays_per_s"],
                 "iters_per_s": res["iters_per_s"],
                 "rays_per_batch": res["rays_per_batch"]})
@@ -314,8 +316,12 @@ def flagship_train_main():
     try:
         remat = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True,
                                                  remat=True))
+        # under the fused march the compaction budget IS the per-ray sample
+        # count (K = n_compact, render_rays_ngp) — the old n_samples=64 arg
+        # was inert, so this leg silently measured K=32. n_compact=64 makes
+        # the 2x-samples remat leg march 64 live samples for real.
         res64 = measure_ngp_train(model=remat, steps_per_block=16,
-                                  n_samples=64, n_coarse=64)
+                                  n_samples=64, n_coarse=64, n_compact=64)
         out.update({"train_rays_per_s_k64_remat": res64["train_rays_per_s"],
                     "iters_per_s_k64_remat": res64["iters_per_s"],
                     "rays_per_batch_k64": res64["rays_per_batch"]})
