@@ -91,13 +91,14 @@ def measure_render(render_fn, params, rays_o, rays_d):
 
 
 def measure_ngp_train(grid_impl="brick3", model=None, steps_per_block=16,
-                      n_samples=64, n_coarse=128, n_compact=20):
+                      n_samples=64, n_coarse=128, n_compact=18):
     """Full training pipeline throughput at reference config.
 
-    n_compact=20 is the shipped train-march budget: quality-gated on the
-    256^2 detail scene (6k-step held-out PSNR 33.75 at both 20 and 32,
-    quality_r4_log ncompact_gate) and swept at this exact bench shape
-    (ncompact_bench_probe: 95.6 -> 143.3 krays/s). The reference's marcher
+    n_compact=18 is the shipped train-march budget: quality-gated on the
+    256^2 detail scene (6k-step held-out PSNR 33.64 vs 33.75 at 32,
+    within the 0.4 dB gate; 16 fails at -0.53 dB — quality_r4_log
+    ncompact_gate) and swept at this exact bench shape
+    (ncompact_bench_probe: 95.6 -> 155.9 krays/s). The reference's marcher
     adapts its per-ray budget dynamically to fill 2^18 samples
     (density_grid_sampler.py:262-267); this is the static-K equivalent."""
     from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
@@ -389,9 +390,9 @@ def main():
             "headline": "Instant-NGP L16F2 (level-tripled brick) full train step: "
                         "march+encode+MLP+composite+Huber+Adam+EMA+grid "
                         "updates, ray batch adapted to 2^18 samples, "
-                        "n_compact=20 march budget (quality-gated vs 32: "
-                        "identical 6k-step held-out PSNR)",
-            "n_compact": 20,
+                        "n_compact=18 march budget (quality-gated vs 32: "
+                        "6k-step held-out PSNR within 0.11 dB)",
+            "n_compact": 18,
             "iters_per_s": round(res["iters_per_s"], 2),
             "rays_per_batch_adapted": res["rays_per_batch"],
             "ngp_hash_render_rays_per_s": round(ngp_render_rate, 1),

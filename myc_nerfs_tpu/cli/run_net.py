@@ -56,10 +56,10 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         near_distance=cfg.get("near_distance", 0.2),
         cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
         const_dt=cfg.get("const_dt", True),
-        # scale-aware march budget: 20 is quality-gated at aabb_scale=1
+        # scale-aware march budget: 18 is quality-gated at aabb_scale=1
         # (quality_r4_log ncompact_gate); cascaded scenes need ~64 or the
         # compaction undersamples the longer ray extent (PERF_NOTES par.8b)
-        n_compact=cfg.get("n_compact", 20 if aabb_scale <= 1 else 64),
+        n_compact=cfg.get("n_compact", 18 if aabb_scale <= 1 else 64),
         fused_march=cfg.get("fused_march", True),
         # render-side transmittance cutoff; 1e-2 with n_samples 20 is the
         # validated fast render profile (PERF_NOTES §9b)

@@ -50,11 +50,12 @@ class NGPRenderConfig:
     early_stop_eps: float = 1e-4
     # training-time compaction budget (0 = off); the differentiable pass
     # runs on at most n_compact surviving samples per ray (CompactedCoord).
-    # 20 is the quality-gated aabb_scale=1 budget (6k-step held-out PSNR
-    # identical to 32 at 1.5x the train rays/s — quality_r4_log
-    # ncompact_gate + ncompact_bench_probe); cascaded scenes need ~64
-    # (32 undersamples the scale-4 ray extent, PERF_NOTES par.8b)
-    n_compact: int = 20
+    # 18 is the quality-gated aabb_scale=1 budget (6k-step held-out PSNR
+    # within 0.11 dB of 32 at 1.6x the train rays/s — quality_r4_log
+    # ncompact_gate + ncompact_bench_probe; 16 fails by -0.53 dB);
+    # cascaded scenes need ~64 (32 undersamples the scale-4 ray extent,
+    # PERF_NOTES par.8b)
+    n_compact: int = 18
     # transmittance source for compaction: 'grid' reads the maintained
     # density grid (one narrow gather — free), 'network' runs the detached
     # density forward like the reference (density_grid_sampler.py:150-154)

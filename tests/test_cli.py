@@ -145,7 +145,7 @@ class TestRunNetCLI:
         cfg = load_config(
             os.path.join(REPO, "configs/ngp/demo_synthetic.py"))
         trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
-        assert trainer.rcfg.n_compact == 20
+        assert trainer.rcfg.n_compact == 18
         cfg = load_config(os.path.join(REPO, "configs/ngp/Easyship.py"))
         trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
         assert trainer.rcfg.aabb_scale == 8
