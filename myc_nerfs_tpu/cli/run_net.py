@@ -56,10 +56,12 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         near_distance=cfg.get("near_distance", 0.2),
         cone_angle_constant=cfg.get("cone_angle_constant", 0.00390625),
         const_dt=cfg.get("const_dt", True),
-        # scale-aware march budget: 18 is quality-gated at aabb_scale=1
-        # (quality_r4_log ncompact_gate); cascaded scenes need ~64 or the
-        # compaction undersamples the longer ray extent (PERF_NOTES par.8b)
-        n_compact=cfg.get("n_compact", 18 if aabb_scale <= 1 else 64),
+        # scale-aware march budget: 20 is quality-gated at aabb_scale=1 at
+        # both the 6k gate and the 40k budget (quality_r4_log ncompact_gate
+        # / ngp40k_budget_*; 18 fails the 40k horizon, PERF_NOTES par.18d);
+        # cascaded scenes need ~64 or the compaction undersamples the
+        # longer ray extent (PERF_NOTES par.8b)
+        n_compact=cfg.get("n_compact", 20 if aabb_scale <= 1 else 64),
         fused_march=cfg.get("fused_march", True),
         # render-side transmittance cutoff; 1e-2 with n_samples 20 is the
         # validated fast render profile (PERF_NOTES §9b)
@@ -84,21 +86,63 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         background_color=tuple(cfg.get("background_color", (1, 1, 1))),
         tot_train_steps=cfg.get("tot_train_steps", 40000),
         n_grid_uniform=cfg.get("n_grid_uniform", 1 << 16),
-        n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16))
+        n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16),
+        # fp16=True in the reference wraps Adam in a GradScaler that skips
+        # inf/nan-grad steps (nerf_base.py:80); bf16 keeps only the skip
+        skip_nonfinite=cfg.get("skip_nonfinite", bool(cfg.get("fp16", False))))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, key, camera_c2w=camera_c2w,
                          focal=focal, image_wh=image_wh, loss_fn=loss_fn,
                          model=model)
     return trainer, tcfg
 
 
+def _synthetic_scene(cfg):
+    """Build (once per cfg) the synthetic scene for run_net's data-free mode.
+
+    cfg keys: synthetic_size (H=W), synthetic_views (train view count),
+    synthetic_val_views (extra HELD-OUT views appended after the train
+    views — both loaders slice the same scene so val never sees a train
+    pose), synthetic_scene ('blobs' default, or 'detail' for the 256^2
+    quality harness field). The config carries the live scene object like
+    the reference cfg carries dataset_obj (runner.py:26)."""
+    scene = cfg.get("_synthetic_scene_obj")
+    if scene is not None:
+        return scene
+    from ..data import synthetic as syn
+
+    H = W = cfg.get("synthetic_size", 24)
+    n = cfg.get("synthetic_views", 10) + cfg.get("synthetic_val_views", 0)
+    kind = cfg.get("synthetic_scene", "blobs")
+    cache = f"/tmp/run_net_scene_{kind}_{n}_{H}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        scene = syn.SyntheticScene(
+            images=jnp.asarray(z["images"]), poses=jnp.asarray(z["poses"]),
+            intr=jnp.asarray(z["intr"]), H=H, W=W,
+            depth_range=tuple(z["depth_range"]))
+    else:
+        if kind == "detail":
+            scene = syn.make_detail_scene(n_views=n, H=H, W=W)
+        else:
+            scene = syn.make_scene(n_views=n, H=H, W=W)
+        np.savez(cache, images=np.asarray(scene.images),
+                 poses=np.asarray(scene.poses), intr=np.asarray(scene.intr),
+                 depth_range=np.asarray(scene.depth_range))
+    cfg["_synthetic_scene_obj"] = scene
+    return scene
+
+
 def load_data(cfg):
     ds_cfg = cfg.get("dataset", {}).get("train", {})
     if cfg.get("synthetic"):
-        from ..data.synthetic import make_scene
         from ..geom import rays as rays_lib
 
-        H = W = cfg.get("synthetic_size", 24)
-        scene = make_scene(n_views=cfg.get("synthetic_views", 10), H=H, W=W)
+        full = _synthetic_scene(cfg)
+        H, W = full.H, full.W
+        n_train = cfg.get("synthetic_views", 10)
+        scene = full._replace(images=full.images[:n_train],
+                              poses=full.poses[:n_train],
+                              intr=full.intr[:n_train])
         SCALE, OFF = 0.33, 0.5
         c, r = rays_lib.get_center_and_ray(scene.poses, scene.intr, H, W)
         d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
@@ -109,6 +153,9 @@ def load_data(cfg):
             n_pixels = H * W
             images = np.asarray(scene.images)
             focal = float(scene.intr[0, 0, 0])  # make_scene: 1.2 * W
+            # analytic renders are pre-composited over white (render_analytic
+            # bg_color=1.0) — training must use the same bg, not random
+            fixed_bg = (1.0, 1.0, 1.0)
 
             def __init__(self):
                 self._o = np.asarray(o.reshape(scene.images.shape[0], -1, 3))
@@ -201,10 +248,17 @@ def main(argv: Optional[list] = None):
             trainer.state = trainer.state._replace(occ=new_occ)
             s = min(S, steps - it)
             os_, ds_, ts_, bgs = [], [], [], []
+            # random per-ray bg compositing of RGBA targets (runner.py:66-68);
+            # pre-composited RGB data (the synthetic scenes) can't be
+            # re-blended, so it pins the bg the images were rendered over
+            fixed_bg = getattr(data, "fixed_bg", None)
             for _ in range(s):
                 img_ids, pix_ids = batcher.next()
                 o, d = data.rays_for_pixels(img_ids, pix_ids)
-                bg = rng.uniform(0, 1, (len(img_ids), 3)).astype(np.float32)
+                bg = (np.tile(np.asarray(fixed_bg, np.float32),
+                              (len(img_ids), 1)) if fixed_bg is not None
+                      else rng.uniform(0, 1, (len(img_ids), 3)).astype(
+                          np.float32))
                 ts_.append(data.pixel_values(img_ids, pix_ids, bg=bg))
                 bgs.append(bg)
                 os_.append(o)
@@ -293,17 +347,22 @@ def main(argv: Optional[list] = None):
 def load_eval_views(cfg, train_data, H, W):
     """Eval views -> (images or None, c2w list (NGP space), intr list)."""
     if cfg.get("synthetic"):
-        from ..data.synthetic import make_scene
-
-        scene = make_scene(n_views=cfg.get("synthetic_views", 10), H=H, W=W)
+        scene = _synthetic_scene(cfg)
+        n_train = cfg.get("synthetic_views", 10)
+        n_val = cfg.get("synthetic_val_views", 0)
+        # held-out views when configured; otherwise the first train views
+        # (the original smoke behavior)
+        idx = (range(n_train, n_train + n_val) if n_val
+               else range(min(4, n_train)))
         SCALE, OFF = 0.33, 0.5
-        c2ws, intrs = [], []
-        for i in range(min(4, scene.poses.shape[0])):
+        c2ws, intrs, imgs = [], [], []
+        for i in idx:
             R, t = scene.poses[i][:, :3], scene.poses[i][:, 3]
             c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], 1)
             c2ws.append(c2w)
             intrs.append(scene.intr[i])
-        return np.asarray(scene.images[:len(c2ws)]), c2ws, intrs
+            imgs.append(np.asarray(scene.images[i]))
+        return np.asarray(imgs), c2ws, intrs
     from ..data import blender
 
     ds_cfg = cfg.get("dataset", {}).get("val", cfg.get("dataset", {}).get("train", {}))

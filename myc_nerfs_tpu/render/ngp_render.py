@@ -50,12 +50,14 @@ class NGPRenderConfig:
     early_stop_eps: float = 1e-4
     # training-time compaction budget (0 = off); the differentiable pass
     # runs on at most n_compact surviving samples per ray (CompactedCoord).
-    # 18 is the quality-gated aabb_scale=1 budget (6k-step held-out PSNR
-    # within 0.11 dB of 32 at 1.6x the train rays/s — quality_r4_log
-    # ncompact_gate + ncompact_bench_probe; 16 fails by -0.53 dB);
-    # cascaded scenes need ~64 (32 undersamples the scale-4 ray extent,
-    # PERF_NOTES par.8b)
-    n_compact: int = 18
+    # 20 is the quality-gated aabb_scale=1 budget: it holds BOTH the
+    # 6k-step gate (33.75 vs 33.75 at 32) AND the full 40k reference
+    # budget (-0.23 dB, inside gate noise). 18 passes at 6k (-0.11) but
+    # FAILS the 40k budget by -1.15 dB, 16 fails at 6k (-0.53) — the
+    # short gate underestimates long-horizon sensitivity (PERF_NOTES
+    # par.18d; quality_r4_log ncompact_gate / ngp40k_budget_*). Cascaded
+    # scenes need ~64 (32 undersamples the scale-4 ray extent, par.8b)
+    n_compact: int = 20
     # transmittance source for compaction: 'grid' reads the maintained
     # density grid (one narrow gather — free), 'network' runs the detached
     # density forward like the reference (density_grid_sampler.py:150-154)

@@ -75,6 +75,13 @@ class NGPTrainConfig:
     # reference uses G^3*n_cascades which is huge — configurable here
     n_grid_uniform: int = 1 << 16
     n_grid_nonuniform: int = 1 << 16
+    # GradScaler semantics: the reference's fp16 path wraps Adam in a
+    # jt.amp GradScaler that SKIPS the optimizer step (params and moments
+    # untouched) whenever any grad is inf/nan (runner.py fp16 wiring;
+    # nerf_base.py:80 fp16=True). bf16 needs no loss scaling, but the
+    # step-skip is load-bearing for high-lr configs whose early steps
+    # overflow — opt-in to keep the default path branch-free.
+    skip_nonfinite: bool = False
 
 
 class NGPTrainState(NamedTuple):
@@ -97,6 +104,36 @@ def make_lr_schedule(cfg: NGPTrainConfig):
 def make_optimizer(cfg: NGPTrainConfig):
     return optax.adam(make_lr_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
                       eps=cfg.eps)
+
+
+def apply_param_update(cfg: NGPTrainConfig, tx, state: "NGPTrainState",
+                       grads) -> "NGPTrainState":
+    """Adam update + dtype-preserving cast + EMA smoothing (the shared tail
+    of every train step). With cfg.skip_nonfinite, a step whose grads
+    contain inf/nan leaves params AND optimizer moments untouched — the
+    reference's fp16 GradScaler contract (step counters still advance, as
+    torch/jt schedulers do on skipped steps)."""
+    def do_update(g):
+        updates, opt_state = tx.update(g, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: new.astype(old.dtype), params, state.params)
+        return params, opt_state
+
+    if cfg.skip_nonfinite:
+        finite = jnp.asarray(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        params, opt_state = jax.lax.cond(
+            finite, do_update,
+            lambda g: (state.params, state.opt_state), grads)
+    else:
+        params, opt_state = do_update(grads)
+    params, ema_params = ema_step(cfg, params, state.ema_params,
+                                  state.ema_steps)
+    return state._replace(
+        params=params, opt_state=opt_state, ema_params=ema_params,
+        step=state.step + 1, ema_steps=state.ema_steps + 1)
 
 
 def ema_step(cfg: NGPTrainConfig, params, ema_params, steps: jnp.ndarray):
@@ -191,16 +228,7 @@ class NGPTrainer:
 
             (loss, (n_samp, psnr)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            params = jax.tree_util.tree_map(
-                lambda new, old: new.astype(old.dtype),
-                params, state.params)
-            params, ema_params = ema_step(cfg, params, state.ema_params,
-                                          state.ema_steps)
-            new_state = state._replace(
-                params=params, opt_state=opt_state, ema_params=ema_params,
-                step=state.step + 1, ema_steps=state.ema_steps + 1)
+            new_state = apply_param_update(cfg, tx, state, grads)
             return new_state, {"loss": loss, "psnr": psnr, "n_samples": n_samp}
 
         return step_fn
@@ -232,17 +260,7 @@ class NGPTrainer:
 
                 (loss, (n_samp, psnr)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)
-                updates, opt_state = tx.update(grads, state.opt_state,
-                                               state.params)
-                params = optax.apply_updates(state.params, updates)
-                params = jax.tree_util.tree_map(
-                    lambda new, old: new.astype(old.dtype),
-                    params, state.params)
-                params, ema_params = ema_step(cfg, params, state.ema_params,
-                                              state.ema_steps)
-                state = state._replace(
-                    params=params, opt_state=opt_state, ema_params=ema_params,
-                    step=state.step + 1, ema_steps=state.ema_steps + 1)
+                state = apply_param_update(cfg, tx, state, grads)
                 return state, {"loss": loss, "psnr": psnr, "n_samples": n_samp}
 
             S = rays_o.shape[0]

@@ -145,7 +145,7 @@ class TestRunNetCLI:
         cfg = load_config(
             os.path.join(REPO, "configs/ngp/demo_synthetic.py"))
         trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
-        assert trainer.rcfg.n_compact == 18
+        assert trainer.rcfg.n_compact == 20
         cfg = load_config(os.path.join(REPO, "configs/ngp/Easyship.py"))
         trainer, _ = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
         assert trainer.rcfg.aabb_scale == 8
@@ -302,3 +302,68 @@ class TestFamilyTrainer:
         for x, y in zip(jax.tree_util.tree_leaves(after),
                         jax.tree_util.tree_leaves(fresh.params[extra_key])):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+class TestRunNetSynthetic:
+    """run_net's data-free mode: held-out val views, fixed bg, GradScaler
+    skip wiring (reference: runner.py:66-84, nerf_base.py:80 fp16)."""
+
+    def test_synthetic_val_views_held_out(self):
+        from myc_nerfs_tpu.cli import run_net
+
+        cfg = {"synthetic": True, "synthetic_size": 16, "synthetic_views": 4,
+               "synthetic_val_views": 2}
+        data, H, W = run_net.load_data(cfg)
+        assert data.n_images == 4 and H == 16 and W == 16
+        # pre-composited RGB scenes pin the bg they were rendered over
+        assert data.fixed_bg == (1.0, 1.0, 1.0)
+        imgs, c2ws, intrs = run_net.load_eval_views(cfg, data, H, W)
+        assert len(c2ws) == 2 and imgs.shape == (2, 16, 16, 3)
+        # the held-out images match none of the train images
+        for v in imgs:
+            assert all(not np.allclose(v, t) for t in data.images)
+        # the scene is built once and carried on cfg like the reference's
+        # cfg.dataset_obj (runner.py:26)
+        assert cfg["_synthetic_scene_obj"].images.shape[0] == 6
+
+    def test_synthetic_no_val_views_keeps_smoke_behavior(self):
+        from myc_nerfs_tpu.cli import run_net
+
+        cfg = {"synthetic": True, "synthetic_size": 16, "synthetic_views": 4}
+        data, H, W = run_net.load_data(cfg)
+        imgs, c2ws, intrs = run_net.load_eval_views(cfg, data, H, W)
+        assert len(c2ws) == 4
+        np.testing.assert_allclose(np.asarray(imgs), data.images[:4])
+
+    def test_skip_nonfinite_wiring(self):
+        import jax
+
+        from myc_nerfs_tpu.cli import run_net
+        from myc_nerfs_tpu.core.config import load_config
+
+        cfgp = os.path.join(REPO, "configs/nerf/demo_synthetic.py")
+        cfg = load_config(cfgp)
+        assert cfg["fp16"] is False
+        _, tcfg = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert tcfg.skip_nonfinite is False
+        cfg["fp16"] = True  # reference: fp16 implies the GradScaler skip
+        _, tcfg = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert tcfg.skip_nonfinite is True
+        cfg["skip_nonfinite"] = False  # explicit key wins
+        _, tcfg = run_net.build_trainer(cfg, jax.random.PRNGKey(0))
+        assert tcfg.skip_nonfinite is False
+
+    def test_budget_synthetic_config(self):
+        from myc_nerfs_tpu.core.config import load_config
+
+        cfg = load_config(os.path.join(REPO,
+                                       "configs/nerf/budget_synthetic.py"))
+        assert cfg["model"]["type"] == "OriginNeRFNetworks"
+        assert cfg["synthetic_scene"] == "detail"
+        assert cfg["synthetic_views"] == 36
+        assert cfg["synthetic_val_views"] == 3
+        assert cfg["tot_train_steps"] == 24000
+        assert cfg["optim"]["lr"] == 1e-3
+        assert cfg["fp16"] is True  # inherited -> skip_nonfinite active
+        # ExpDecay boundary inherited from nerf_base (decay_start 20000)
+        assert cfg["expdecay"]["decay_start"] == 20000

@@ -782,3 +782,72 @@ class TestBatchLadder:
         tr._update_batch_rays()
         assert tr.n_rays_per_batch * 20 <= tcfg.target_batch_size
         assert tr.n_rays_per_batch == 192  # floor(4096/20)=204 -> 1.5*128
+
+
+class TestSkipNonfinite:
+    """GradScaler step-skip semantics (reference fp16 path, nerf_base.py:80):
+    a step with any inf/nan grad must leave params AND optimizer moments
+    untouched while counters advance."""
+
+    def _fresh_state(self, cfg, tx):
+        import jax.numpy as jnp
+
+        from myc_nerfs_tpu.train.ngp_trainer import NGPTrainState
+
+        params = {"w": jnp.ones((3,), jnp.float32)}
+        return NGPTrainState(params=params, opt_state=tx.init(params),
+                             ema_params=params, occ=None,
+                             step=jnp.zeros((), jnp.int32),
+                             ema_steps=jnp.zeros((), jnp.int32))
+
+    def test_nonfinite_step_skipped(self):
+        import jax
+        import jax.numpy as jnp
+
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2, skip_nonfinite=True)
+        tx = nt.make_optimizer(cfg)
+        state = self._fresh_state(cfg, tx)
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0], jnp.float32)}
+        s2 = nt.apply_param_update(cfg, tx, state, bad)
+        # params unchanged up to the EMA blend's rounding (EMA still runs
+        # on skipped steps, as the reference's does — ema.py:26-42)
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   np.ones(3, np.float32), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(s2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(s2.step) == 1 and int(s2.ema_steps) == 1
+        # the next finite step applies normally
+        good = {"w": jnp.full((3,), 0.5, jnp.float32)}
+        s3 = nt.apply_param_update(cfg, tx, s2, good)
+        assert not np.allclose(np.asarray(s3.params["w"]),
+                               np.ones(3, np.float32))
+
+    def test_inf_grad_also_skipped(self):
+        import jax.numpy as jnp
+
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2, skip_nonfinite=True)
+        tx = nt.make_optimizer(cfg)
+        state = self._fresh_state(cfg, tx)
+        bad = {"w": jnp.array([jnp.inf, 0.0, 0.0], jnp.float32)}
+        s2 = nt.apply_param_update(cfg, tx, state, bad)
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   np.ones(3, np.float32), rtol=1e-6)
+
+    def test_default_off_applies_nonfinite(self):
+        """Without the flag the update applies verbatim (the branch-free
+        default path) — nan grads poison params, as plain Adam would."""
+        import jax.numpy as jnp
+
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2)
+        tx = nt.make_optimizer(cfg)
+        state = self._fresh_state(cfg, tx)
+        bad = {"w": jnp.array([1.0, jnp.nan, 1.0], jnp.float32)}
+        s2 = nt.apply_param_update(cfg, tx, state, bad)
+        assert not np.all(np.isfinite(np.asarray(s2.params["w"])))
