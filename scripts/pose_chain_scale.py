@@ -1,0 +1,233 @@
+"""The repo's signature capability chain AT REFERENCE SCALE (round 4).
+
+PERF_NOTES par.5e ran the chain (noisy extrinsics -> GARF joint pose
+refinement -> corrected poses -> Instant-NGP) at toy scale (64^2, 12
+views, L8 grid). This script runs it at the quality-harness scale the
+other round-4 evidence uses: the 256^2 36-view detail scene, the GARF
+reference shape (2048 rays x 128 samples, correction gated at 40% of the
+budget — options/Easyship.yaml:17,21,60 ratios), and the FULL L16F2
+brick3 + fused-march NGP pipeline (6000 steps, batch 8192), reporting
+held-out val PSNR on 3 GT views for each of three camera sets:
+
+  gt       the ceiling (same protocol as quality_scale's shipped runs)
+  noisy    se(3)-perturbed training cameras (sigma = --noise)
+  refined  GARF-corrected cameras, Procrustes-aligned to the GT frame
+           (garf.py:136-148 — the same alignment the reference applies
+           before evaluating; removes the global gauge freedom only)
+
+The refined cameras are also exported through the transforms-JSON path
+(evaluation/pose_export.write_transforms_json — the data_refine artifact
+format, U5) so the full export surface runs at scale.
+
+Ref: README.md:12-16 (the chain), barf-myc/options/Easyship.yaml:5,17,21,60,
+jnerf-myc/projects/ngp/configs/Easyship.py (the downstream consumer).
+
+Usage: python scripts/pose_chain_scale.py [--garf_steps 50000]
+       [--ngp_steps 6000] [--noise 0.06] [--skip gt,noisy]
+Appends JSON lines (event=pose_chain_scale_*) to quality_r4_log.jsonl.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myc_nerfs_tpu.data.synthetic import make_detail_scene
+from myc_nerfs_tpu.evaluation import pose_eval
+from myc_nerfs_tpu.geom import lie, pose as pose_lib, rays as rays_lib
+from myc_nerfs_tpu.models import ngp
+from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+from myc_nerfs_tpu.train import nerf_trainer as nt
+from myc_nerfs_tpu.train.ngp_trainer import NGPTrainConfig, NGPTrainer
+from myc_nerfs_tpu.utils.metrics import psnr
+
+LOG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "quality_r4_log.jsonl")
+SCALE, OFF = 0.33, 0.5
+
+_FILE_LOG = [True]
+
+
+def emit(**kw):
+    line = json.dumps(kw)
+    print(line, flush=True)
+    if _FILE_LOG[0]:
+        with open(LOG, "a") as f:
+            f.write(line + "\n")
+
+
+def pose_error(poses, poses_gt):
+    aligned, _ = pose_eval.prealign_cameras(poses, poses_gt)
+    err = pose_eval.evaluate_camera_alignment(aligned, poses_gt)
+    return float(jnp.rad2deg(err.R.mean())), float(err.t.mean())
+
+
+def load_scene(views, size):
+    cache = f"/tmp/detail_scene_detail_{views}_{size}.npz"
+    if os.path.exists(cache):
+        from myc_nerfs_tpu.data.synthetic import SyntheticScene
+
+        z = np.load(cache)
+        return SyntheticScene(images=jnp.asarray(z["images"]),
+                              poses=jnp.asarray(z["poses"]),
+                              intr=jnp.asarray(z["intr"]),
+                              H=size, W=size,
+                              depth_range=tuple(z["depth_range"]))
+    scene = make_detail_scene(n_views=views, H=size, W=size)
+    np.savez(cache, images=np.asarray(scene.images),
+             poses=np.asarray(scene.poses), intr=np.asarray(scene.intr),
+             depth_range=np.asarray(scene.depth_range))
+    return scene
+
+
+def train_ngp(tag, poses_w2c, images, intr, scene, val_ids, steps, batch):
+    """Full-scale NGP on rays from the given train cameras; val on GT."""
+    H = W = scene.H
+    c, r = rays_lib.get_center_and_ray(poses_w2c, intr, H, W)
+    d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    tr_o = np.asarray((c * SCALE + OFF).reshape(-1, 3))
+    tr_d = np.asarray(d.reshape(-1, 3))
+    tr_rgb = np.asarray(images.reshape(-1, 3))
+
+    mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(aabb_scale=1),
+                              use_bf16=True, grid_impl="brick3")
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=64,
+                           n_compact=20, near_distance=0.05,
+                           fused_march=True, compact_source="grid")
+    tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=batch,
+                          target_batch_size=1 << 18,
+                          n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
+                          decay_start=20000, update_den_freq=16,
+                          tot_train_steps=steps)
+    trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    rng = np.random.default_rng(0)
+    S = tcfg.update_den_freq
+    t0 = time.perf_counter()
+    it = 0
+    m = {"psnr": jnp.asarray(0.0)}
+    while it < steps:
+        key, k1, k2 = jax.random.split(key, 3)
+        trainer.state = trainer.state._replace(occ=trainer.grid_update(
+            trainer.state.occ, trainer.state.params, k1))
+        ids = rng.integers(0, tr_o.shape[0], (S, batch))
+        m = trainer.train_block(tr_o[ids], tr_d[ids], tr_rgb[ids], k2)
+        it += S
+    wall = time.perf_counter() - t0
+    ps = []
+    for vi in val_ids:
+        pose = scene.poses[vi]
+        R, t = pose[:, :3], pose[:, 3]
+        c2w = jnp.concatenate([R.T, (-R.T @ t[:, None]) * SCALE + OFF], 1)
+        img, _ = trainer.render_image(c2w, scene.intr[vi], H, W, chunk=8192)
+        ps.append(float(psnr(jnp.clip(img, 0, 1), scene.images[vi])))
+    emit(event="pose_chain_scale_ngp", cameras=tag, steps=it,
+         train_psnr=round(float(m["psnr"]), 2),
+         val_psnr=round(float(np.mean(ps)), 2),
+         val_psnrs=[round(p, 2) for p in ps],
+         wall_s=round(wall, 1),
+         krays_s=round(batch * it / max(wall, 1e-9) / 1e3, 1))
+    return float(np.mean(ps))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--garf_steps", type=int, default=50000)
+    ap.add_argument("--ngp_steps", type=int, default=6000)
+    ap.add_argument("--noise", type=float, default=0.06)
+    ap.add_argument("--views", type=int, default=36)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--rand_rays", type=int, default=2048)
+    ap.add_argument("--samples", type=int, default=128)
+    ap.add_argument("--log_every", type=int, default=10000)
+    ap.add_argument("--skip", default="",
+                    help="comma list of NGP legs to skip: gt,noisy,refined")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    _FILE_LOG[0] = args.garf_steps >= 1000
+    skip = set(filter(None, args.skip.split(",")))
+
+    scene = load_scene(args.views, args.size)
+    val_ids = [0, args.views // 3, 2 * args.views // 3]
+    train_ids = [i for i in range(args.views) if i not in val_ids]
+    idx = jnp.asarray(train_ids)
+    poses_tr = scene.poses[idx]
+    images_tr = scene.images[idx]
+    intr_tr = scene.intr[idx]
+
+    cfg = nt.NeRFTrainConfig(
+        model="garf", refine_pose=True, camera_noise=args.noise,
+        rand_rays=args.rand_rays, sample_intvs=args.samples,
+        max_iter=args.garf_steps,
+        start_pose_correct_iter=int(args.garf_steps * 0.4))
+    model, state = nt.init_state(cfg, jax.random.PRNGKey(0),
+                                 n_images=len(train_ids))
+    noisy = pose_lib.compose_pair(lie.se3_to_SE3(state.pose_noise), poses_tr)
+    r0, t0_err = pose_error(noisy, poses_tr)
+    emit(event="pose_chain_scale_start", garf_steps=args.garf_steps,
+         ngp_steps=args.ngp_steps, views=args.views, size=args.size,
+         noise=args.noise, start_pose_correct=cfg.start_pose_correct_iter,
+         rot_err_deg_init=round(r0, 3), trans_err_init=round(t0_err, 4))
+
+    block = nt.make_train_block(cfg, model, images_tr, poses_tr, intr_tr,
+                                steps_per_block=16)
+    key = jax.random.PRNGKey(2)
+    it = 0
+    wall0 = time.perf_counter()
+    m = None
+    while it < args.garf_steps:
+        state, m = block(state, jax.random.fold_in(key, it // 16))
+        it += 16
+        if it % args.log_every < 16:
+            p = float(m["psnr"])
+            refined = nt.compose_refined_pose(cfg, state, poses_tr)
+            r1, t1 = pose_error(refined, poses_tr)
+            emit(event="pose_chain_scale_garf_log", step=it,
+                 train_psnr=round(p, 2), rot_err_deg=round(r1, 3),
+                 trans_err=round(t1, 4),
+                 it_s=round(it / (time.perf_counter() - wall0), 1))
+    refined = nt.compose_refined_pose(cfg, state, poses_tr)
+    r1, t1 = pose_error(refined, poses_tr)
+    emit(event="pose_chain_scale_garf_done", steps=it,
+         rot_err_deg=round(r1, 3), trans_err=round(t1, 4),
+         rot_err_deg_init=round(r0, 3), trans_err_init=round(t0_err, 4),
+         wall_s=round(time.perf_counter() - wall0, 1))
+
+    # Procrustes-align both camera sets to the GT frame (gauge removal
+    # only; garf.py:136-148) and export the refined set as a transforms
+    # JSON — the data_refine/Easyship artifact shape (U5).
+    refined_aligned, _ = pose_eval.prealign_cameras(refined, poses_tr)
+    noisy_aligned, _ = pose_eval.prealign_cameras(noisy, poses_tr)
+    from myc_nerfs_tpu.evaluation.pose_export import write_transforms_json
+
+    export = "/tmp/pose_chain_scale_transforms_train.json"
+    write_transforms_json(export, refined_aligned)
+    emit(event="pose_chain_scale_export", path=export,
+         n_frames=len(train_ids))
+
+    results = {}
+    for tag, poses in [("gt", poses_tr), ("noisy", noisy_aligned),
+                       ("refined", refined_aligned)]:
+        if tag in skip:
+            continue
+        results[tag] = train_ngp(tag, poses, images_tr, intr_tr, scene,
+                                 val_ids, args.ngp_steps, args.batch)
+    if {"noisy", "refined"} <= results.keys():
+        emit(event="pose_chain_scale_done",
+             val_gain_db=round(results["refined"] - results["noisy"], 2),
+             val_gap_to_gt_db=(round(results["gt"] - results["refined"], 2)
+                               if "gt" in results else None),
+             rot_err_reduction=round(r0 / max(r1, 1e-9), 2))
+
+
+if __name__ == "__main__":
+    main()
