@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--eps", action="store_true",
                     help="second-pass grid: harder trunc eps at lower K")
+    ap.add_argument("--eps2", action="store_true",
+                    help="round-4 third pass: the K=18 rung between the "
+                         "shipped K=20 (-0.02 dB) and the rejected K=16 "
+                         "(-0.14 dB), PERF_NOTES par.9b")
     args = ap.parse_args()
 
     # --- trained model for the quality side
@@ -81,7 +85,14 @@ def main():
 
     grid = [(128, 32, 1e-4), (128, 16, 1e-4), (96, 16, 1e-4), (64, 16, 1e-4),
             (128, 12, 1e-4), (64, 12, 1e-4), (128, 8, 1e-4), (64, 8, 1e-4)]
-    if "--eps" in sys.argv:
+    if "--eps2" in sys.argv:
+        # K=18 sits untried between the shipped (20, 1e-2) pass and the
+        # (16, 1e-2) gate miss; also probe a harder eps at the shipped K
+        # and a lower n_coarse at the shipped (K, eps).
+        grid = [(128, 32, 1e-4), (128, 20, 1e-2), (128, 18, 1e-2),
+                (128, 18, 6e-3), (128, 20, 2e-2), (112, 20, 1e-2),
+                (128, 16, 6e-3)]
+    elif "--eps" in sys.argv:
         # round-4 second pass: shrink the live arc with a harder render-time
         # transmittance cutoff so dt stays fine at lower K (the reference's
         # inference early-exit, calc_rgb.h, is an output-side analog)
