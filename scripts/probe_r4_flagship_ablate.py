@@ -95,7 +95,72 @@ def run(tag, model, n_coarse=128, S=4, with_update=False):
          with_update=with_update)
 
 
+def run_pass2():
+    """Round-4l knockouts at the CURRENT bench shape (n_coarse=64, S=16,
+    with update): isolate the remaining non-MLP, non-march cost buckets —
+    freq-encode transcendentals, the composite cumsum, Adam+EMA."""
+    from myc_nerfs_tpu.models import ori_nerf
+    from myc_nerfs_tpu.render import ngp_render
+    from myc_nerfs_tpu.train import ngp_trainer as nt
+
+    def fresh():
+        return OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
+
+    kw = dict(n_coarse=64, S=16, with_update=True)
+    run("full_nc64_S16", fresh(), **kw)
+
+    # --- encode knockout: same widths, bandwidth-only (no sin/cos)
+    real_encode = ori_nerf.freq_encode
+
+    def fake_encode(x, multires, include_input=True):
+        w = (3 if include_input else 0) + 3 * 2 * multires
+        reps = -(-w // 3)
+        return jnp.concatenate([x * (0.1 * i + 0.1) for i in range(reps)],
+                               -1)[..., :w]
+
+    ori_nerf.freq_encode = fake_encode
+    try:
+        run("encode_stub", fresh(), **kw)
+    finally:
+        ori_nerf.freq_encode = real_encode
+
+    # --- composite knockout: uniform weights, no cumsum scan
+    real_cw = ngp_render.composite_weights
+
+    def fake_cw(sigma, dt, valid=None, early_stop_eps=1e-4):
+        w = sigma * dt * 1e-3  # keep grads flowing to sigma
+        if valid is not None:
+            w = jnp.where(valid, w, 0.0)
+        return w, jnp.clip(1.0 - w.sum(-1, keepdims=True), 0.0, 1.0)
+
+    ngp_render.composite_weights = fake_cw
+    try:
+        run("composite_stub", fresh(), **kw)
+    finally:
+        ngp_render.composite_weights = real_cw
+
+    # --- optimizer knockout: grads still computed, Adam+EMA replaced by a
+    # step-count bump (isolates optax update + debiased EMA blend)
+    real_apu = nt.apply_param_update
+
+    def fake_apu(cfg, tx, state, grads):
+        # 1e-30*g keeps the backward pass live (a *0 would be folded and
+        # the whole bwd DCE'd); the add itself is ~0.6M elementwise ops
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p + (1e-30 * g).astype(p.dtype), state.params, grads)
+        return state._replace(params=new_params, step=state.step + 1)
+
+    nt.apply_param_update = fake_apu
+    try:
+        run("opt_stub", fresh(), **kw)
+    finally:
+        nt.apply_param_update = real_apu
+
+
 if __name__ == "__main__":
+    if "--pass2" in sys.argv:
+        run_pass2()
+        sys.exit(0)
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
     stub = StubModel(OriginNeRFConfig(skips=(), use_bf16=True))
     run("full", flagship)
