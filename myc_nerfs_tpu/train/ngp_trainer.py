@@ -283,8 +283,12 @@ class NGPTrainer:
             self._block_fn = self._build_block()
         S, B = rays_o.shape[:2]
         if bg is None:
-            bg = jnp.broadcast_to(jnp.asarray(self.cfg.background_color),
-                                  (S, B, 3))
+            bg = self.cfg.background_color
+        bg = jnp.asarray(bg)
+        if bg.shape != (S, B, 3):
+            # accept [3] / [B, 3]: the scan consumes one [B, 3] slice per
+            # step, so anything else must be broadcast up front
+            bg = jnp.broadcast_to(bg, (S, B, 3))
         self.state, metrics, n_total = self._block_fn(
             self.state, jnp.asarray(rays_o), jnp.asarray(rays_d),
             jnp.asarray(target), jnp.asarray(bg), key)

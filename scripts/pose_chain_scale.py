@@ -149,6 +149,17 @@ def main():
     ap.add_argument("--log_every", type=int, default=10000)
     ap.add_argument("--skip", default="",
                     help="comma list of NGP legs to skip: gt,noisy,refined")
+    ap.add_argument("--gate_frac", type=float, default=0.0,
+                    help="start_pose_correct_iter as a fraction of "
+                         "garf_steps. 0 = the reference's SYNTHETIC-noise "
+                         "protocol (barf_blender.yaml: noise 0.15, no gate "
+                         "— poses and scene co-converge; gating a large- "
+                         "noise run lets the MLP overfit the wrong poses "
+                         "first and the late pose gradients are noise). "
+                         "0.4 = the Easyship real-pose-REFINEMENT ratio "
+                         "(options/Easyship.yaml:5,60), measured at -22 dB "
+                         "vs GT on this harness — see quality_r4_log "
+                         "pose_chain_scale events for both.")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -168,7 +179,7 @@ def main():
         model="garf", refine_pose=True, camera_noise=args.noise,
         rand_rays=args.rand_rays, sample_intvs=args.samples,
         max_iter=args.garf_steps,
-        start_pose_correct_iter=int(args.garf_steps * 0.4))
+        start_pose_correct_iter=int(args.garf_steps * args.gate_frac))
     model, state = nt.init_state(cfg, jax.random.PRNGKey(0),
                                  n_images=len(train_ids))
     noisy = pose_lib.compose_pair(lie.se3_to_SE3(state.pose_noise), poses_tr)

@@ -85,7 +85,16 @@ def main():
 
     grid = [(128, 32, 1e-4), (128, 16, 1e-4), (96, 16, 1e-4), (64, 16, 1e-4),
             (128, 12, 1e-4), (64, 12, 1e-4), (128, 8, 1e-4), (64, 8, 1e-4)]
-    if "--eps2" in sys.argv:
+    if "--eps3" in sys.argv:
+        # On the 40k nc20c96 ckpt the --eps2 pass showed eps=1e-2 costs
+        # ~0.2-0.7 dB (the 6k-ckpt gate did not hold at the reference
+        # horizon — same lesson as PERF_NOTES par.18d) while the 6e-3 rows
+        # Pareto-dominate the shipped (20, 1e-2). Sweep the 3e-3/4.5e-3
+        # family for the fastest row with delta >= -0.1 dB at 40k.
+        grid = [(128, 32, 1e-4), (128, 24, 3e-3), (128, 20, 3e-3),
+                (128, 18, 3e-3), (128, 16, 3e-3), (128, 18, 4.5e-3),
+                (128, 16, 4.5e-3)]
+    elif "--eps2" in sys.argv:
         # K=18 sits untried between the shipped (20, 1e-2) pass and the
         # (16, 1e-2) gate miss; also probe a harder eps at the shipped K
         # and a lower n_coarse at the shipped (K, eps).

@@ -638,6 +638,21 @@ class TestKillAndResume:
             np.asarray(tA.state.occ.density_grid),
             np.asarray(tC.state.occ.density_grid), atol=1e-6)
 
+    def test_train_block_broadcasts_low_rank_bg(self):
+        """bg [3] / [B, 3] must be broadcast to [S, B, 3] before the scan —
+        a raw [3] bg would be scanned over the channel axis (crash for
+        S != 3, silently wrong per-step scalar bg for S == 3)."""
+        o, d, tgt = self._batches(1, S=3)[0]  # S=3: the silent case
+        k = jax.random.PRNGKey(5)
+        tA = self._mk_trainer()
+        tA.train_block(o, d, tgt, k, bg=jnp.ones(3))
+        tB = self._mk_trainer()
+        tB.train_block(o, d, tgt, k, bg=jnp.ones((3, 128, 3)))
+        for a, b in zip(jax.tree_util.tree_leaves(tA.state.params),
+                        jax.tree_util.tree_leaves(tB.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
 
 class TestGridUpdateWarp:
     def test_update_feeds_aabb_warped_positions(self):
