@@ -56,12 +56,30 @@ def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:
     """
     with open(path, "rb") as f:
         blob = f.read()
-    state = serialization.from_bytes(target, blob)
+    try:
+        state = serialization.from_bytes(target, blob)
+    except (ValueError, KeyError):
+        # Legacy tolerance: older checkpoints may carry state fields the
+        # current structure dropped (e.g. the redundant ema_params /
+        # ema_steps NGPTrainState fields removed in round 4 — the EMA
+        # shadow always equaled the live params). Drop dict keys the
+        # target no longer has; a key the target NEEDS but the blob lacks
+        # still raises (that is a genuine mismatch, not drift).
+        raw = serialization.msgpack_restore(blob)
+        ref = serialization.to_state_dict(target)
+        state = serialization.from_state_dict(target, _filter_keys(ref, raw))
     meta: Dict = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
     return state, meta
+
+
+def _filter_keys(ref: Any, raw: Any) -> Any:
+    """Recursively drop dict keys in ``raw`` that ``ref`` doesn't have."""
+    if isinstance(ref, dict) and isinstance(raw, dict):
+        return {k: _filter_keys(ref[k], raw[k]) for k in ref}
+    return raw
 
 
 def latest_checkpoint(directory: str, name: str = "model.ckpt") -> Optional[str]:

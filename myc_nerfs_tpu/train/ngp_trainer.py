@@ -85,12 +85,18 @@ class NGPTrainConfig:
 
 
 class NGPTrainState(NamedTuple):
+    """Note there is NO separate EMA shadow tree: the reference's EMA
+    optimizer (ema.py:33-35) writes the debiased blend into the LIVE params
+    and then copies them into its shadow, so shadow == live after every
+    step — the shadow is recoverable as the previous step's final params.
+    Dropping the duplicate halves param-state HBM and checkpoint size.
+    (Pre-round-4 checkpoints carried `ema_params`/`ema_steps` fields;
+    restore_checkpoint tolerates and drops them.)"""
+
     params: Any
     opt_state: Any
-    ema_params: Any
     occ: occ.OccupancyState
     step: jnp.ndarray
-    ema_steps: jnp.ndarray
 
 
 def make_lr_schedule(cfg: NGPTrainConfig):
@@ -129,18 +135,19 @@ def apply_param_update(cfg: NGPTrainConfig, tx, state: "NGPTrainState",
             lambda g: (state.params, state.opt_state), grads)
     else:
         params, opt_state = do_update(grads)
-    params, ema_params = ema_step(cfg, params, state.ema_params,
-                                  state.ema_steps)
-    return state._replace(
-        params=params, opt_state=opt_state, ema_params=ema_params,
-        step=state.step + 1, ema_steps=state.ema_steps + 1)
+    # EMA shadow == the previous step's final (post-blend) params, which is
+    # exactly state.params at entry — no separate shadow tree needed.
+    params = ema_step(cfg, params, state.params, state.step)
+    return state._replace(params=params, opt_state=opt_state,
+                          step=state.step + 1)
 
 
-def ema_step(cfg: NGPTrainConfig, params, ema_params, steps: jnp.ndarray):
+def ema_step(cfg: NGPTrainConfig, params, shadow, steps: jnp.ndarray):
     """The reference's in-place EMA smoothing of the live params (ema.py:26-42):
 
     p <- ((1-d) p + d v (1 - d^(n-1))) / (1 - d^n); v <- p.
-    Returns (new_params, new_shadow).
+    ``shadow`` (v) is the previous step's final params. Returns the blended
+    params (which are both the new live params and the new shadow).
     """
     d = cfg.ema_decay
     n = steps.astype(jnp.float32) + 1.0
@@ -152,8 +159,7 @@ def ema_step(cfg: NGPTrainConfig, params, ema_params, steps: jnp.ndarray):
                + d * v.astype(jnp.float32) * debias_old) * debias_new
         return out.astype(p.dtype)
 
-    new_params = jax.tree_util.tree_map(blend, params, ema_params)
-    return new_params, new_params
+    return jax.tree_util.tree_map(blend, params, shadow)
 
 
 class NGPTrainer:
@@ -196,9 +202,8 @@ class NGPTrainer:
         tx = make_optimizer(cfg)
         self.tx = tx
         self.state = NGPTrainState(
-            params=params, opt_state=tx.init(params), ema_params=params,
-            occ=occ_state, step=jnp.zeros((), jnp.int32),
-            ema_steps=jnp.zeros((), jnp.int32))
+            params=params, opt_state=tx.init(params),
+            occ=occ_state, step=jnp.zeros((), jnp.int32))
         self.n_rays_per_batch = cfg.n_rays_per_batch
         self._measured_samples = 0.0
         self._measure_count = 0
@@ -292,7 +297,11 @@ class NGPTrainer:
         self.state, metrics, n_total = self._block_fn(
             self.state, jnp.asarray(rays_o), jnp.asarray(rays_d),
             jnp.asarray(target), jnp.asarray(bg), key)
-        self._measured_samples += float(n_total)
+        # lazy device-side accumulation: a float() here would force a
+        # pipeline flush after EVERY block (~6 ms/step of axon-tunnel
+        # serialization at the bench shape, PERF_NOTES par.22); the host
+        # only needs the value at _update_batch_rays time
+        self._measured_samples = self._measured_samples + n_total
         self._measure_count += S
         return metrics
 
@@ -308,7 +317,7 @@ class NGPTrainer:
         key, k = jax.random.split(key)
         self.state, metrics = self._step_fn(self.state, rays_o, rays_d,
                                             target, bg, k)
-        self._measured_samples += float(metrics["n_samples"])
+        self._measured_samples = self._measured_samples + metrics["n_samples"]
         self._measure_count += 1
         if it % cfg.update_den_freq == cfg.update_den_freq - 1:
             self._update_batch_rays()
@@ -324,7 +333,8 @@ class NGPTrainer:
         ladder keeps the realized sample count AT OR UNDER the reference's
         samples-per-batch budget (Easyship.py:95) instead of overshooting
         it by up to 41% the way nearest-pow2 rounding can."""
-        measured = max(self._measured_samples / max(self._measure_count, 1), 1.0)
+        measured = max(float(self._measured_samples)
+                       / max(self._measure_count, 1), 1.0)
         rays = int(self.n_rays_per_batch * self.cfg.target_batch_size / measured)
         rays = max(128, min(rays, self.cfg.target_batch_size))
         self.n_rays_per_batch = _ladder_floor(rays)
@@ -332,8 +342,12 @@ class NGPTrainer:
         self._measure_count = 0
 
     def render_image(self, pose_c2w: jnp.ndarray, intr: jnp.ndarray,
-                     H: int, W: int, chunk: int = 4096, use_ema: bool = False):
-        """Chunked full-image render (Runner.render_img, runner.py:195-228)."""
+                     H: int, W: int, chunk: int = 4096):
+        """Chunked full-image render (Runner.render_img, runner.py:195-228).
+
+        state.params ARE the EMA-smoothed params (the reference's EMA
+        optimizer blends into the live params every step, ema.py:33-35),
+        so there is no separate smoothed tree to select."""
         from ..geom import rays as rays_lib
 
         d = rays_lib.get_ray_directions(H, W, (intr[0, 0], intr[1, 1]),
@@ -345,7 +359,7 @@ class NGPTrainer:
         pad = (-n) % chunk
         rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
         rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)))
-        params = self.state.ema_params if use_ema else self.state.params
+        params = self.state.params
         bg = jnp.asarray(self.cfg.background_color)
 
         if self._render_fn is None:

@@ -630,13 +630,59 @@ class TestKillAndResume:
                         jax.tree_util.tree_leaves(tC.state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=1e-6)
-        for a, c in zip(jax.tree_util.tree_leaves(tA.state.ema_params),
-                        jax.tree_util.tree_leaves(tC.state.ema_params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
-                                       atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(tA.state.occ.density_grid),
             np.asarray(tC.state.occ.density_grid), atol=1e-6)
+
+    def test_legacy_checkpoint_with_ema_fields_restores(self, tmp_path):
+        """Pre-round-4 checkpoints carry the dropped ema_params/ema_steps
+        NGPTrainState fields; restore_checkpoint must drop them and load
+        the rest (the shadow always equaled the live params)."""
+        from flax import serialization
+
+        from myc_nerfs_tpu.core.checkpoint import restore_checkpoint
+
+        tr = self._mk_trainer()
+        legacy = dict(serialization.to_state_dict(tr.state))
+        legacy["ema_params"] = legacy["params"]  # old duplicate
+        legacy["ema_steps"] = np.zeros((), np.int32)
+        # mutate params so a successful restore is observable
+        legacy["params"] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) * 0 + 2, legacy["params"])
+        ck = str(tmp_path / "legacy.ckpt")
+        with open(ck, "wb") as f:
+            f.write(serialization.msgpack_serialize(legacy))
+        state, _ = restore_checkpoint(ck, tr.state)
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_allclose(np.asarray(leaf).ravel()[0], 2.0)
+
+    def test_ema_matches_reference_recurrence(self):
+        """The in-place blend must track the reference loop (ema.py:26-42):
+        p <- ((1-d) p + d v (1-d^(n-1))) / (1-d^n); v <- p — with v carried
+        implicitly as the previous step's final params."""
+        from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig,
+                                                     ema_step)
+
+        cfg = NGPTrainConfig(ema_decay=0.95)
+        d = 0.95
+        rng = np.random.default_rng(3)
+        raw_updates = rng.normal(size=(5, 4)).astype(np.float32)
+
+        # reference simulation: separate live p and shadow v
+        p_ref = np.zeros(4, np.float32)
+        v_ref = np.zeros(4, np.float32)
+        # ours: a single params tree; shadow is last step's final params
+        p_ours = jnp.zeros(4, jnp.float32)
+        for n in range(1, 6):
+            post_adam_ref = p_ref + raw_updates[n - 1]
+            p_ref = (((1 - d) * post_adam_ref + d * v_ref * (1 - d ** (n - 1)))
+                     / (1 - d ** n))
+            v_ref = p_ref.copy()
+            shadow = p_ours                      # previous final params
+            post_adam = p_ours + raw_updates[n - 1]
+            p_ours = ema_step(cfg, {"w": post_adam}, {"w": shadow},
+                              jnp.asarray(n - 1))["w"]
+            np.testing.assert_allclose(np.asarray(p_ours), p_ref, rtol=1e-5)
 
     def test_train_block_broadcasts_low_rank_bg(self):
         """bg [3] / [B, 3] must be broadcast to [S, B, 3] before the scan —
@@ -811,9 +857,7 @@ class TestSkipNonfinite:
 
         params = {"w": jnp.ones((3,), jnp.float32)}
         return NGPTrainState(params=params, opt_state=tx.init(params),
-                             ema_params=params, occ=None,
-                             step=jnp.zeros((), jnp.int32),
-                             ema_steps=jnp.zeros((), jnp.int32))
+                             occ=None, step=jnp.zeros((), jnp.int32))
 
     def test_nonfinite_step_skipped(self):
         import jax
@@ -833,7 +877,7 @@ class TestSkipNonfinite:
         for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                         jax.tree_util.tree_leaves(s2.opt_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        assert int(s2.step) == 1 and int(s2.ema_steps) == 1
+        assert int(s2.step) == 1
         # the next finite step applies normally
         good = {"w": jnp.full((3,), 0.5, jnp.float32)}
         s3 = nt.apply_param_update(cfg, tx, s2, good)
