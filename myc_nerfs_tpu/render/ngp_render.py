@@ -31,8 +31,9 @@ import jax.numpy as jnp
 from ..models.ngp import density_activation
 from ..ops.compaction import compact_first_k
 from .composite import composite_rgb, composite_weights
-from .occupancy import (OccupancyConfig, OccupancyState, mip_from_pos,
-                        occupied_at, occupied_at_mip0, sigma_at)
+from .occupancy import (OccupancyConfig, OccupancyState, grid_value_at,
+                        mip_from_pos, occupied_at, occupied_at_mip0,
+                        sigma_at)
 
 
 SQRT3 = 1.7320508075688772
@@ -209,20 +210,11 @@ def _sigma_probe(occ_cfg: OccupancyConfig, density_grid: jnp.ndarray,
     EMA-maxed; -1 marks untrained). Lookups go through mip_from_pos, which
     never reads the OR-pooled centre octant of a cascade (those positions
     resolve to a smaller mip), so `value > thresh` here is EXACTLY the
-    bitfield bit the non-fused march reads (update_bitfield semantics).
+    bitfield bit the non-fused march reads (update_bitfield semantics) —
+    structurally so: both delegate to occupancy.grid_value_at.
     """
-    G = occ_cfg.grid_size
-    if single_mip:
-        i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
-        flat = density_grid[0].reshape(-1)
-        return flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
-    mip = mip_from_pos(occ_cfg, pos)
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
-    p = (pos - 0.5) * mip_scale + 0.5
-    i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
-    flat = density_grid.reshape(-1)
-    g3 = G * G * G
-    return flat[mip * g3 + (i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+    return grid_value_at(occ_cfg, density_grid, pos,
+                         None if single_mip else mip_from_pos(occ_cfg, pos))
 
 
 def march_rays_fused(occ_cfg: OccupancyConfig, rcfg: NGPRenderConfig,

@@ -239,6 +239,32 @@ def mip_from_pos(cfg: OccupancyConfig, pos: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(exponent.astype(jnp.int32) + 1, 0, cfg.n_cascades - 1)
 
 
+def grid_value_at(cfg: OccupancyConfig, volume: jnp.ndarray,
+                  pos: jnp.ndarray, mip: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
+    """Raw value of a cascaded [n_cascades, G, G, G] volume at world pos
+    [..., 3] — ONE flattened narrow gather (the march is gather-bound on
+    TPU, PERF_NOTES §1; flat 1-D indexing avoids the 4-D index path).
+
+    This is the single clip-index-gather every cascaded lookup shares
+    (cascaded_grid_idx_at, ray_sampler_header.h:755-776): bitfield probes,
+    density reads, and the fused march's sigma probe all delegate here, so
+    their occupancy decisions cannot drift apart. ``mip=None`` is the
+    cascade-0 fast path (aabb_scale=1: no mip math at all).
+    """
+    G = cfg.grid_size
+    if mip is None:
+        i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
+        flat = volume[0].reshape(-1)
+        return flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
+    p = (pos - 0.5) * mip_scale + 0.5
+    i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
+    flat = volume.reshape(-1)
+    g3 = G * G * G
+    return flat[mip * g3 + (i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+
+
 def occupied_at(cfg: OccupancyConfig, bitfield: jnp.ndarray,
                 pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
     """Bitfield lookup at world pos [..., 3] for cascade mip [...].
@@ -246,11 +272,7 @@ def occupied_at(cfg: OccupancyConfig, bitfield: jnp.ndarray,
     Ref: cascaded_grid_idx_at + density_grid_occupied_at
     (ray_sampler_header.h:755-776).
     """
-    G = cfg.grid_size
-    mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
-    p = (pos - 0.5) * mip_scale + 0.5
-    i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
-    return bitfield[mip, i[..., 0], i[..., 1], i[..., 2]]
+    return grid_value_at(cfg, bitfield, pos, mip)
 
 
 def sigma_at(cfg: OccupancyConfig, density_grid: jnp.ndarray,
@@ -266,16 +288,7 @@ def sigma_at(cfg: OccupancyConfig, density_grid: jnp.ndarray,
     grid is the EMA of exactly that quantity, and reading it is one narrow
     gather instead of a full encode+MLP forward.
     """
-    G = cfg.grid_size
-    if mip is None:
-        i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
-        flat = density_grid[0].reshape(-1)
-        v = flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
-    else:
-        mip_scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
-        p = (pos - 0.5) * mip_scale + 0.5
-        i = jnp.clip((p * G).astype(jnp.int32), 0, G - 1)
-        v = density_grid[mip, i[..., 0], i[..., 1], i[..., 2]]
+    v = grid_value_at(cfg, density_grid, pos, mip)
     return jnp.maximum(v, 0.0) / cfg.min_cone_stepsize
 
 
@@ -284,7 +297,4 @@ def occupied_at_mip0(cfg: OccupancyConfig, bitfield: jnp.ndarray,
     """Fast path for single-cascade scenes (aabb_scale=1): a flattened
     one-gather lookup with no mip math — the march is gather-bound on TPU
     (PERF_NOTES.md), so avoiding the 4D index + exp2 helps."""
-    G = cfg.grid_size
-    i = jnp.clip((pos * G).astype(jnp.int32), 0, G - 1)
-    flat = bitfield[0].reshape(-1)
-    return flat[(i[..., 0] * G + i[..., 1]) * G + i[..., 2]]
+    return grid_value_at(cfg, bitfield, pos)
