@@ -61,6 +61,10 @@ def main():
                     help="round-4 third pass: the K=18 rung between the "
                          "shipped K=20 (-0.02 dB) and the rejected K=16 "
                          "(-0.14 dB), PERF_NOTES par.9b")
+    ap.add_argument("--eps3", action="store_true",
+                    help="round-4 fourth pass: the 3e-3/4.5e-3 eps family "
+                         "on the 40k ckpt (eps=1e-2 fails the 0.1 dB gate "
+                         "at the reference horizon)")
     args = ap.parse_args()
 
     # --- trained model for the quality side
