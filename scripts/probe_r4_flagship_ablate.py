@@ -52,7 +52,7 @@ class StubModel(OriginNeRFModel):
         return positions @ k.astype(jnp.float32)
 
 
-def run(tag, model, n_coarse=128, S=4, with_update=False):
+def run(tag, model, n_coarse=128, S=4, with_update=False, n_compact=None):
     st = occ.init_occupancy(occ.OccupancyConfig())
     centers = occ.cell_centers(occ.OccupancyConfig(), 0)
     ball = jnp.linalg.norm(centers - 0.5, axis=-1) < 0.3
@@ -60,7 +60,10 @@ def run(tag, model, n_coarse=128, S=4, with_update=False):
     st = st._replace(bitfield=st.bitfield.at[0].set(ball),
                      density_grid=st.density_grid.at[0].set(grid),
                      mean_density=jnp.maximum(grid, 0.0).mean())
-    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse, n_samples=K)
+    rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse, n_samples=K,
+                           **({} if n_compact is None
+                              else {"n_compact": n_compact}))
+    emit(variant=tag + "_cfg", n_compact=rcfg.n_compact)
     tcfg = NGPTrainConfig(n_rays_per_batch=RAYS, update_den_freq=S)
     trainer = NGPTrainer(None, rcfg, tcfg, jax.random.PRNGKey(0), model=model)
     trainer.state = trainer.state._replace(occ=st)
@@ -106,7 +109,8 @@ def run_pass2():
     def fresh():
         return OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
 
-    kw = dict(n_coarse=64, S=16, with_update=True)
+    nc = 32 if "--ncompact32" in sys.argv else None
+    kw = dict(n_coarse=64, S=16, with_update=True, n_compact=nc)
     run("full_nc64_S16", fresh(), **kw)
 
     # --- encode knockout: same widths, bandwidth-only (no sin/cos)
