@@ -26,6 +26,10 @@ from ..train.ngp_trainer import NGPTrainConfig, NGPTrainer
 from ..utils.logging import MetricWriter, log
 from ..utils.metrics import psnr
 
+# val-render cadence during training (runner.py:80-84 renders a val image
+# every 4096 steps); module-level so tests can shrink it.
+VAL_EVERY = 4096
+
 
 def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
     """Assemble the NGP pipeline from the config's ``type=`` keys through the
@@ -272,13 +276,17 @@ def main(argv: Optional[list] = None):
                 writer.scalar("psnr", float(m["psnr"]), it)
                 log.info(f"step {it} psnr {float(m['psnr']):.2f} "
                          f"rays/batch {trainer.n_rays_per_batch}")
-            if it % 4096 < S and it >= 4096:
+            if it % VAL_EVERY < S and it >= VAL_EVERY:
                 # val PSNR cadence (runner.py:80-84): render one val image,
                 # append to psnr.txt
                 if val_views is None:
                     try:
                         val_views = load_eval_views(cfg, data, H, W)
-                    except (FileNotFoundError, AssertionError):
+                    except Exception as e:  # noqa: BLE001 - optional probe:
+                        # a malformed eval config must skip val cadence, not
+                        # abort the training loop (same rule as the render
+                        # task's intrinsics probe below).
+                        log.warning(f"val views unavailable: {e!r}")
                         val_views = (None, [], [])
                 imgs, c2ws, intrs = val_views
                 if imgs is not None and len(c2ws):

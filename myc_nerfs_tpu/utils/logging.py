@@ -40,6 +40,9 @@ class Log:
             else:
                 print("   " * level + _c(f"* {k}:", "blue"), v)
 
+    def warning(self, msg):
+        print(_c(msg, "magenta"))
+
     def error(self, msg):
         print(_c(msg, "red"))
 

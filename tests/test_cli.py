@@ -132,6 +132,26 @@ class TestRunNetCLI:
              "--task", "train", "--steps", "5"])
         assert os.path.exists(os.path.join(out, "model.ckpt"))
 
+    def test_malformed_val_views_skips_cadence(self, in_tmp, monkeypatch,
+                                               capsys):
+        """A val-views probe that raises (malformed eval config — e.g. a
+        transforms_val.json with no fov key raises RuntimeError, not
+        FileNotFoundError) must warn and skip the val cadence, not abort
+        training. Driven on-chip with a real malformed dataset in round 4m;
+        this pins the fallback at a test-sized cadence."""
+        from myc_nerfs_tpu.cli import run_net
+
+        def boom(cfg, data, H, W):
+            raise RuntimeError("Couldn't read fov.")
+
+        monkeypatch.setattr(run_net, "load_eval_views", boom)
+        monkeypatch.setattr(run_net, "VAL_EVERY", 8)
+        out = run_net.main(
+            ["--config-file", os.path.join(REPO, "configs/ngp/demo_synthetic.py"),
+             "--task", "train", "--steps", "10"])
+        assert os.path.exists(os.path.join(out, "model.ckpt"))
+        assert "val views unavailable" in capsys.readouterr().out
+
     def test_scale_aware_march_budget_default(self):
         """run_net picks the march budget from the scene scale: 20 is the
         quality-gated aabb_scale=1 default (quality_r4_log ncompact_gate);
