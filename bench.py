@@ -329,10 +329,15 @@ def flagship_train_main():
     # par.9c). The hash headline keeps n_coarse=128 (unchanged definition).
     out = {}
     flagship = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
-    # n_compact=32 pinned: the flagship's quality gates (flagship_ncoarse_gate)
-    # ran at 32; the ladder that gated 20 (PERF_NOTES par.16) is hash-only
+    # n_compact=20: gated at the 40k reference horizon for the FLAGSHIP
+    # specifically (round-5 runs, quality_r5_log flagship40k events —
+    # val 21.89 at nc=20 vs 21.95 at nc=32, -0.06 dB, inside the 0.1 dB
+    # parity band), per the PERF_NOTES par.18d rule that march-budget cuts
+    # need the full reference budget, not the 6k screen. This is the
+    # config PERF_NOTES par.24 measured at 568 krays/s = 1.05x the 3090
+    # train baseline.
     res = measure_ngp_train(model=flagship, steps_per_block=16, n_samples=32,
-                            n_coarse=64, n_compact=32)
+                            n_coarse=64, n_compact=20)
     out.update({"train_rays_per_s": res["train_rays_per_s"],
                 "iters_per_s": res["iters_per_s"],
                 "rays_per_batch": res["rays_per_batch"]})

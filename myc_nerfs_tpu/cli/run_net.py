@@ -91,9 +91,15 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         tot_train_steps=cfg.get("tot_train_steps", 40000),
         n_grid_uniform=cfg.get("n_grid_uniform", 1 << 16),
         n_grid_nonuniform=cfg.get("n_grid_nonuniform", 1 << 16),
-        # fp16=True in the reference wraps Adam in a GradScaler that skips
-        # inf/nan-grad steps (nerf_base.py:80); bf16 keeps only the skip
-        skip_nonfinite=cfg.get("skip_nonfinite", bool(cfg.get("fp16", False))))
+        # fp16=True in the reference runs the whole backward in fp16 at amp
+        # level 5 (ori_nerf_network.py:33) under a GradScaler that skips
+        # inf/nan-grad steps (nerf_base.py:80). Full parity = bf16 compute
+        # + fp16-range grad emulation (grads scaled through float16, so
+        # over-range grads become inf exactly where the reference's would)
+        # + the step skip. Config keys `skip_nonfinite`/`fp16_grads`
+        # override individually.
+        skip_nonfinite=cfg.get("skip_nonfinite", bool(cfg.get("fp16", False))),
+        fp16_grads=cfg.get("fp16_grads", bool(cfg.get("fp16", False))))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, key, camera_c2w=camera_c2w,
                          focal=focal, image_wh=image_wh, loss_fn=loss_fn,
                          model=model)
@@ -282,11 +288,15 @@ def main(argv: Optional[list] = None):
                 if val_views is None:
                     try:
                         val_views = load_eval_views(cfg, data, H, W)
-                    except Exception as e:  # noqa: BLE001 - optional probe:
+                    except (FileNotFoundError, AssertionError, RuntimeError,
+                            KeyError, ValueError, TypeError) as e:
                         # a malformed eval config must skip val cadence, not
                         # abort the training loop (same rule as the render
-                        # task's intrinsics probe below).
-                        log.warning(f"val views unavailable: {e!r}")
+                        # task's intrinsics probe below). Named types so a
+                        # genuine regression in load_eval_views still raises
+                        # loudly instead of silently disabling val PSNR.
+                        log.error(f"val views unavailable ({type(e).__name__}):"
+                                  f" {e!r} — val PSNR cadence disabled")
                         val_views = (None, [], [])
                 imgs, c2ws, intrs = val_views
                 if imgs is not None and len(c2ws):

@@ -72,3 +72,49 @@ def test_time_pose_optim(
             jnp.zeros((), jnp.int32), jnp.float32(100.0), key)
     se3, _, it, _, _, loss, _ = jax.lax.while_loop(cond, body, init)
     return TTOptResult(se3=se3, loss=loss, n_iters=it)
+
+
+def make_ngp_pose_loss(occ_cfg, rcfg, model_apply, params, occ_state,
+                       pose_w2c: jnp.ndarray, intr: jnp.ndarray,
+                       image: jnp.ndarray, H: int, W: int,
+                       n_rays: int = 2048,
+                       world_scale: float = 1.0, world_offset: float = 0.0,
+                       bg=None, density_apply=None):
+    """Photometric pose loss against a trained NGP field, for use with
+    :func:`test_time_pose_optim`.
+
+    The reference applies its per-eval-image se(3) correction to MLP NeRF
+    fields only (garf.py:232-269); the NGP analog lets the capability
+    chain (GARF pose refinement -> NGP) evaluate eval views through the
+    same protocol: correct each camera photometrically against the trained
+    field before rendering, so residual per-camera pose error is removed
+    the way the reference's eval does, not just the global gauge
+    (prealign_cameras).
+
+    ``pose_w2c`` [3, 4] world->cam; ``image`` [H, W, 3] the eval target;
+    ``world_scale/offset`` map scene world coords into the field's unit
+    AABB (the chain harness trains at x*SCALE+OFF). Returns
+    ``loss_fn(se3, key)`` sampling ``n_rays`` random pixels per step.
+    """
+    from ..geom import lie, pose as pose_lib, rays as rays_lib
+    from ..render.ngp_render import render_rays_ngp
+
+    tgt_flat = image.reshape(-1, 3)
+    grid_all = rays_lib.pixel_grid(H, W)
+    if bg is None:
+        bg = jnp.ones(3)
+    bg = jnp.asarray(bg)
+
+    def loss_fn(se3, key):
+        corr = pose_lib.compose_pair(lie.se3_to_SE3(se3)[0], pose_w2c)
+        idx = jax.random.randint(key, (n_rays,), 0, H * W)
+        c, r = rays_lib.get_center_and_ray(corr[None], intr[None], H, W,
+                                           xy_grid=grid_all[idx])
+        d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        o = c * world_scale + world_offset
+        out = render_rays_ngp(occ_cfg, rcfg, model_apply, params, occ_state,
+                              o[0], d[0], bg, None,
+                              density_apply=density_apply)
+        return jnp.mean((out.rgb - tgt_flat[idx]) ** 2)
+
+    return loss_fn

@@ -82,6 +82,32 @@ class NGPTrainConfig:
     # step-skip is load-bearing for high-lr configs whose early steps
     # overflow — opt-in to keep the default path branch-free.
     skip_nonfinite: bool = False
+    # Full fp16-backward numerics emulation (the rest of the reference's
+    # GradScaler contract): grads are scaled by fp16_grad_scale, cast
+    # through float16 (range +-65504 — large grads become inf, sub-
+    # 6e-8 grads flush to zero, exactly the fp16 backward's behavior at
+    # amp level 5, ori_nerf_network.py:33), then unscaled. Combined with
+    # skip_nonfinite this reproduces the implicit early-step rejection
+    # the reference's high-lr configs rely on: a bf16/f32 backward never
+    # overflows, so violent early steps LAND here that the reference's
+    # fp16 pipeline silently skips.
+    fp16_grads: bool = False
+    fp16_grad_scale: float = 128.0
+    # optional global-norm clip (0 = off; diagnostic/stability knob —
+    # the reference has no explicit clip, its fp16 range IS the clip)
+    clip_grad_norm: float = 0.0
+    # Staged march budget: ((from_step, n_compact), ...) sorted ascending.
+    # The reference's CUDA marcher compacts losslessly (truncates only at
+    # T<1e-4, compacted_coord.h:37-77) so its sample budget is implicitly
+    # unlimited; our static-K budget trades samples for gather bandwidth
+    # (PERF_NOTES par.16). A schedule recovers the late-training quality
+    # the flat budget gives up: the PERF_NOTES par.18d evidence shows the
+    # budget floor binds only once the field is sharp (past decay_start),
+    # so e.g. ((0, 20), (20000, 32)) runs the fast budget for the majority
+    # early phase and the lossless-equivalent one late. Crossing a boundary
+    # re-jits the step (staged re-jit, same mechanism as the batch ladder);
+    # host-side step tracking, no device sync.
+    n_compact_schedule: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 class NGPTrainState(NamedTuple):
@@ -119,6 +145,16 @@ def apply_param_update(cfg: NGPTrainConfig, tx, state: "NGPTrainState",
     contain inf/nan leaves params AND optimizer moments untouched — the
     reference's fp16 GradScaler contract (step counters still advance, as
     torch/jt schedulers do on skipped steps)."""
+    if cfg.clip_grad_norm > 0:
+        gn = optax.global_norm(grads)
+        scale = jnp.minimum(1.0, cfg.clip_grad_norm / (gn + 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    if cfg.fp16_grads:
+        s = cfg.fp16_grad_scale
+        grads = jax.tree_util.tree_map(
+            lambda g: ((g.astype(jnp.float32) * s).astype(jnp.float16)
+                       .astype(g.dtype) / s), grads)
+
     def do_update(g):
         updates, opt_state = tx.update(g, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -211,9 +247,37 @@ class NGPTrainer:
         self.grid_update = occ.make_density_grid_update(
             self.occ_cfg, lambda p, x: self.model.density_raw(p, x),
             cfg.n_grid_uniform, cfg.n_grid_nonuniform, aabb=rcfg.aabb)
+        # host-side mirror of state.step for schedule decisions (device
+        # sync per block would reintroduce the PERF_NOTES par.23 flush);
+        # callers that resume from a checkpoint must call set_host_step()
+        self.host_step = 0
+        self._apply_march_schedule()
         self._step_fn = self._build_step()
         self._block_fn = None   # lax.scan multi-step program, built lazily
         self._render_fn = None  # cached whole-image chunked renderer
+
+    def set_host_step(self, step: int) -> None:
+        """Sync the host step mirror after a checkpoint restore and apply
+        any march-schedule stage that step falls into."""
+        self.host_step = int(step)
+        self._apply_march_schedule()
+
+    def _apply_march_schedule(self) -> None:
+        """Swap rcfg.n_compact per cfg.n_compact_schedule at host_step;
+        invalidates compiled programs on change (staged re-jit)."""
+        sched = self.cfg.n_compact_schedule
+        if not sched:
+            return
+        nc = None
+        for frm, v in sched:
+            if self.host_step >= frm:
+                nc = v
+        if nc is not None and nc != self.rcfg.n_compact:
+            self.rcfg = dataclasses.replace(self.rcfg, n_compact=nc)
+            self._block_fn = None
+            self._render_fn = None
+            if getattr(self, "_step_fn", None) is not None:
+                self._step_fn = self._build_step()
 
     def _build_step(self):
         model_apply = self.model.apply
@@ -284,9 +348,11 @@ class NGPTrainer:
         Callers align S with update_den_freq and run the occupancy update
         between blocks (train loop in cli/run_net.py, bench.py).
         """
+        S, B = rays_o.shape[:2]
+        self._apply_march_schedule()
+        self.host_step += S
         if self._block_fn is None:
             self._block_fn = self._build_block()
-        S, B = rays_o.shape[:2]
         if bg is None:
             bg = self.cfg.background_color
         bg = jnp.asarray(bg)
@@ -307,6 +373,8 @@ class NGPTrainer:
 
     def train_step(self, rays_o, rays_d, target, key, bg_color=None):
         cfg = self.cfg
+        self._apply_march_schedule()
+        self.host_step += 1
         it = int(self.state.step)
         if it % cfg.update_den_freq == 0:
             key, k = jax.random.split(key)

@@ -41,10 +41,11 @@ class Log:
                 print("   " * level + _c(f"* {k}:", "blue"), v)
 
     def warning(self, msg):
-        print(_c(msg, "magenta"))
+        # keep the level greppable in piped/CI output where _c is a no-op
+        print(_c(f"WARNING: {msg}", "magenta"))
 
     def error(self, msg):
-        print(_c(msg, "red"))
+        print(_c(f"ERROR: {msg}", "red"), file=sys.stderr)
 
 
 log = Log()

@@ -63,7 +63,11 @@ def run(tag, model, n_coarse=128, S=4, with_update=False, n_compact=None):
     rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=n_coarse, n_samples=K,
                            **({} if n_compact is None
                               else {"n_compact": n_compact}))
-    emit(variant=tag + "_cfg", n_compact=rcfg.n_compact)
+    if n_compact is not None:
+        # only the pass-2 override path emits a _cfg provenance line, so
+        # consumers that parse every 'variant' line still see ms_step on all
+        # pass-1 rows (ADVICE r4)
+        emit(variant=tag + "_cfg", n_compact=rcfg.n_compact)
     tcfg = NGPTrainConfig(n_rays_per_batch=RAYS, update_den_freq=S)
     trainer = NGPTrainer(None, rcfg, tcfg, jax.random.PRNGKey(0), model=model)
     trainer.state = trainer.state._replace(occ=st)

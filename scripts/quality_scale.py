@@ -66,6 +66,17 @@ def main():
     ap.add_argument("--n_compact", type=int, default=20,
                     help="live samples per ray (20 = shipped quality-gated "
                          "default; larger for aabb_scale>1 evidence runs)")
+    ap.add_argument("--fp16_grads", action="store_true",
+                    help="emulate the reference's fp16 backward numerics "
+                         "(grads scaled, cast through float16, unscaled) + "
+                         "GradScaler step-skip — the lr 1e-2 mechanism "
+                         "probe (VERDICT r4 weak#4)")
+    ap.add_argument("--clip_gn", type=float, default=0.0,
+                    help="global-norm grad clip (0 = off; diagnostic)")
+    ap.add_argument("--nc_schedule", default="",
+                    help="staged march budget, e.g. '0:20,20000:32' — "
+                         "n_compact switches at each from_step boundary "
+                         "(NGPTrainConfig.n_compact_schedule; staged re-jit)")
     ap.add_argument("--val_every", type=int, default=0,
                     help="if >0, log val PSNR of view 0 at this cadence")
     ap.add_argument("--dump", default="",
@@ -145,11 +156,20 @@ def main():
         n_compact=args.n_compact,
         near_distance=0.05, fused_march=fused,
         compact_source="grid" if fused else "network")
+    nc_sched = None
+    if args.nc_schedule:
+        nc_sched = tuple(
+            (int(p.split(":")[0]), int(p.split(":")[1]))
+            for p in args.nc_schedule.split(","))
     tcfg = NGPTrainConfig(lr=args.lr, n_rays_per_batch=args.batch,
                           target_batch_size=1 << 18,
                           n_grid_uniform=1 << 16, n_grid_nonuniform=1 << 16,
                           decay_start=20000, update_den_freq=16,
-                          tot_train_steps=args.steps)
+                          tot_train_steps=args.steps,
+                          n_compact_schedule=nc_sched,
+                          fp16_grads=args.fp16_grads,
+                          skip_nonfinite=args.fp16_grads,
+                          clip_grad_norm=args.clip_gn)
     model = None
     if args.variant == "flagship":
         # the zero-gather MXU field behind the same marcher (bench flagship)
@@ -166,6 +186,7 @@ def main():
 
         trainer.state, meta = restore_checkpoint(args.ckpt, trainer.state)
         start_step = int(meta.get("step", 0))
+        trainer.set_host_step(start_step)
         print(json.dumps({"event": "resumed", "step": start_step}),
               flush=True)
 

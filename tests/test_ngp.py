@@ -910,3 +910,117 @@ class TestSkipNonfinite:
         bad = {"w": jnp.array([1.0, jnp.nan, 1.0], jnp.float32)}
         s2 = nt.apply_param_update(cfg, tx, state, bad)
         assert not np.all(np.isfinite(np.asarray(s2.params["w"])))
+
+
+class TestMarchSchedule:
+    """Staged march budget (NGPTrainConfig.n_compact_schedule): the
+    reference's lossless dynamic compaction (compacted_coord.h:37-77) has
+    no fixed K; our static-K budget recovers late-training quality with a
+    step-staged K (PERF_NOTES par.18d: the budget floor binds only once
+    the field sharpens). The switch is a host-side staged re-jit."""
+
+    def _mk(self, sched):
+        from myc_nerfs_tpu.models.ngp import HashGridConfig, NGPModelConfig
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+        from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig,
+                                                     NGPTrainer)
+
+        mcfg = NGPModelConfig(grid=HashGridConfig(
+            n_levels=4, log2_hashmap_size=12, desired_resolution=64.0))
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=8,
+                               n_compact=4)
+        tcfg = NGPTrainConfig(n_rays_per_batch=64, target_batch_size=1 << 10,
+                              n_grid_uniform=1 << 10, n_grid_nonuniform=0,
+                              update_den_freq=4, n_compact_schedule=sched)
+        return NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+
+    def _block(self, S=4, n=64):
+        key = jax.random.PRNGKey(3)
+        theta = jax.random.uniform(key, (S * n,)) * 6.28318
+        o = jnp.stack([0.5 + 1.4 * jnp.cos(theta),
+                       0.5 + 1.4 * jnp.sin(theta),
+                       jnp.full((S * n,), 0.5)], -1)
+        d = (0.5 - o)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        tgt = jax.random.uniform(jax.random.fold_in(key, 1), (S, n, 3))
+        return o.reshape(S, n, 3), d.reshape(S, n, 3), tgt
+
+    def test_schedule_switches_at_boundary_and_trains_through(self):
+        tr = self._mk(((0, 4), (8, 6)))
+        assert tr.rcfg.n_compact == 4
+        o, d, tgt = self._block()
+        m1 = tr.train_block(o, d, tgt, jax.random.PRNGKey(1))  # steps 0-3
+        assert tr.rcfg.n_compact == 4
+        tr.train_block(o, d, tgt, jax.random.PRNGKey(2))       # steps 4-7
+        m3 = tr.train_block(o, d, tgt, jax.random.PRNGKey(3))  # steps 8-11
+        assert tr.rcfg.n_compact == 6  # boundary crossed -> re-jitted
+        assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m3["loss"]))
+
+    def test_resume_lands_in_correct_stage(self):
+        tr = self._mk(((0, 4), (8, 6)))
+        tr.set_host_step(9)
+        assert tr.rcfg.n_compact == 6
+        tr2 = self._mk(((0, 4), (8, 6)))
+        tr2.set_host_step(7)
+        assert tr2.rcfg.n_compact == 4
+
+    def test_initial_stage_applies_at_construction(self):
+        tr = self._mk(((0, 6),))
+        assert tr.rcfg.n_compact == 6
+
+
+class TestFp16GradEmulation:
+    """fp16 backward numerics emulation (NGPTrainConfig.fp16_grads): the
+    reference's amp-level-5 fp16 pipeline (ori_nerf_network.py:33,70-77)
+    bounds grads at +-65504/scale — larger ones become inf and the
+    GradScaler SKIPS the step. A bf16/f32 backward never overflows, so
+    those violent steps land; the emulation restores the implicit
+    rejection (the lr 1e-2 mechanism probe, VERDICT r4 weak#4)."""
+
+    def _state(self, cfg, tx, val=1.0):
+        from myc_nerfs_tpu.render import occupancy as occ
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        params = {"w": jnp.full((3,), val, jnp.float32)}
+        return nt.NGPTrainState(params=params, opt_state=tx.init(params),
+                                occ=occ.init_occupancy(occ.OccupancyConfig()),
+                                step=jnp.zeros((), jnp.int32))
+
+    def test_overrange_grad_becomes_inf_and_skips(self):
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2, fp16_grads=True,
+                                fp16_grad_scale=128.0, skip_nonfinite=True)
+        tx = nt.make_optimizer(cfg)
+        st = self._state(cfg, tx)
+        big = {"w": jnp.array([600.0, 0.0, 0.0], jnp.float32)}  # 600*128 > 65504
+        s2 = nt.apply_param_update(cfg, tx, st, big)
+        np.testing.assert_allclose(np.asarray(s2.params["w"]),
+                                   np.ones(3, np.float32), rtol=1e-6)
+
+    def test_inrange_grad_applies_with_fp16_rounding(self):
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2, fp16_grads=True,
+                                fp16_grad_scale=128.0, skip_nonfinite=True)
+        tx = nt.make_optimizer(cfg)
+        st = self._state(cfg, tx)
+        ok = {"w": jnp.array([1.0, -2.0, 0.5], jnp.float32)}
+        s2 = nt.apply_param_update(cfg, tx, st, ok)
+        assert not np.allclose(np.asarray(s2.params["w"]),
+                               np.ones(3, np.float32))
+        assert np.all(np.isfinite(np.asarray(s2.params["w"])))
+
+    def test_clip_grad_norm_bounds_update(self):
+        from myc_nerfs_tpu.train import ngp_trainer as nt
+
+        cfg = nt.NGPTrainConfig(lr=1e-2, clip_grad_norm=1.0, ema_decay=0.0)
+        tx = nt.make_optimizer(cfg)
+        st = self._state(cfg, tx)
+        huge = {"w": jnp.array([1e6, 0.0, 0.0], jnp.float32)}
+        small = {"w": jnp.array([1.0, 0.0, 0.0], jnp.float32)}
+        s_h = nt.apply_param_update(cfg, tx, st, huge)
+        s_s = nt.apply_param_update(cfg, tx, st, small)
+        # both clip to the same unit direction -> identical Adam updates
+        np.testing.assert_allclose(np.asarray(s_h.params["w"]),
+                                   np.asarray(s_s.params["w"]), rtol=1e-5)

@@ -157,3 +157,62 @@ class TestTestTimeOptim:
         assert float(res.loss) < 1e-6
         assert float(err_after.t[0]) < 0.2 * float(err_before.t[0])
         assert float(err_after.R[0]) < float(err_before.R[0])
+
+
+class TestNGPPoseLoss:
+    """make_ngp_pose_loss: the NGP-field photometric pose loss for the
+    capability chain's eval protocol (reference per-eval-image se3
+    correction, garf.py:232-269, applied to the hash-grid field)."""
+
+    def test_loss_differentiable_and_perturbation_sensitive(self):
+        from myc_nerfs_tpu.data.synthetic import make_detail_scene
+        from myc_nerfs_tpu.evaluation.test_time_optim import (
+            make_ngp_pose_loss)
+        from myc_nerfs_tpu.models import ngp
+        from myc_nerfs_tpu.render.ngp_render import NGPRenderConfig
+        from myc_nerfs_tpu.train.ngp_trainer import (NGPTrainConfig,
+                                                     NGPTrainer)
+        from myc_nerfs_tpu.geom import rays as rays_lib
+
+        H = W = 24
+        scene = make_detail_scene(n_views=4, H=H, W=W)
+        SCALE, OFF = 0.33, 0.5
+        c, r = rays_lib.get_center_and_ray(scene.poses, scene.intr, H, W)
+        d = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        o = np.asarray((c * SCALE + OFF).reshape(-1, 3))
+        dd = np.asarray(d.reshape(-1, 3))
+        rgb = np.asarray(scene.images.reshape(-1, 3))
+        mcfg = ngp.NGPModelConfig(grid=ngp.HashGridConfig(
+            n_levels=4, log2_hashmap_size=12, desired_resolution=64.0),
+            grid_impl="brick3")
+        rcfg = NGPRenderConfig(aabb_scale=1, n_coarse=32, n_samples=16,
+                               n_compact=8, fused_march=True,
+                               compact_source="grid")
+        tcfg = NGPTrainConfig(lr=1e-2, n_rays_per_batch=128,
+                              target_batch_size=1 << 11,
+                              n_grid_uniform=1 << 11, n_grid_nonuniform=0,
+                              update_den_freq=4)
+        tr = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(1)
+        for _ in range(8):
+            key, k1, k2 = jax.random.split(key, 3)
+            tr.state = tr.state._replace(occ=tr.grid_update(
+                tr.state.occ, tr.state.params, k1))
+            ids = rng.integers(0, o.shape[0], (4, 128))
+            tr.train_block(o[ids], dd[ids], rgb[ids], k2)
+
+        loss_fn = make_ngp_pose_loss(
+            tr.occ_cfg, tr.rcfg, tr.model.apply, tr.state.params,
+            tr.state.occ, scene.poses[0], scene.intr[0], scene.images[0],
+            H, W, n_rays=256, world_scale=SCALE, world_offset=OFF,
+            density_apply=tr.model.density_raw)
+        k = jax.random.PRNGKey(2)
+        l0, g0 = jax.value_and_grad(loss_fn)(jnp.zeros((1, 6)), k)
+        assert np.isfinite(float(l0))
+        assert np.isfinite(np.asarray(g0)).all()
+        assert float(jnp.abs(g0).sum()) > 0  # pose grads flow through march
+        # a clearly-wrong pose must cost more than the true pose
+        bad = jnp.array([[0.3, 0.3, 0.3, 0.3, 0.3, 0.3]])
+        l_bad = loss_fn(bad, k)
+        assert float(l_bad) > float(l0)
