@@ -34,6 +34,7 @@ _KNOWN_KEYS = frozenset((
     "basedir", "batch_size", "bbox", "bg_D", "bg_freq", "bg_samples",
     "bg_view_freq", "data_dim_color", "datadir", "density_shift",
     "distance_scale", "downsample_test", "downsample_train", "expname",
+    "density_batch_budget",
     "density_sample_budget", "far", "fea2denseAct", "fea_pe", "featureC",
     "global_step", "grid_size",
     "has_opt_state", "lr_basis", "lr_decay_iters", "lr_decay_target_ratio",
@@ -85,6 +86,7 @@ def build_configs(a: dict):
         fea_pe=a.get("fea_pe", 6), featureC=a.get("featureC", 128),
         step_ratio=a.get("step_ratio", 0.5),
         density_sample_budget=a.get("density_sample_budget", 256),
+        density_batch_budget=a.get("density_batch_budget", 0),
         fea2dense=a.get("fea2denseAct", "softplus"),
         near_far=tuple(a.get("near_far", [a.get("near", 2.0), a.get("far", 6.0)])))
     train_cfg = tt.TensoRFTrainConfig(

@@ -68,6 +68,17 @@ class TensoRFConfig:
     # path runs. Post-mask rays with more survivors than the budget drop
     # the deepest ones (T there is < weight_thres * S in practice).
     app_sample_budget: int = 96
+    # Cross-ray (whole-batch) density compaction: the CLOSEST static-shape
+    # analog of the reference's flattened ray_valid boolean indexing
+    # (tensorBase.py:497-504, which gathers xyz_sampled[ray_valid] across
+    # the whole batch into one dense buffer). Survivor samples are packed
+    # in SAMPLE-MAJOR order (all rays' sample 0, then sample 1, ...) into
+    # this many slots, so overflow drops the deepest-rank samples
+    # UNIFORMLY across rays instead of truncating whole thick rays the way
+    # the per-ray budget does. Exact (bit-identical composite) whenever
+    # total batch survivors <= budget. 0 = off. Mutually exclusive with
+    # density_sample_budget; gated like it on the alpha mask existing.
+    density_batch_budget: int = 0
     # static-shape resolution of the reference's ray_valid boolean indexing
     # (tensorBase.py:497-504): density factors are only evaluated at samples
     # that pass the AABB clip + alpha-mask gates, compacted to at most this
@@ -462,6 +473,34 @@ def compact_density_samples(cfg: TensoRFConfig, buffers, valid: jnp.ndarray,
     return keep, xyz, z_vals, dists
 
 
+def density_via_batch_compaction(cfg: TensoRFConfig, params,
+                                 valid: jnp.ndarray, xyz: jnp.ndarray
+                                 ) -> jnp.ndarray:
+    """Evaluate density factors only at batch-compacted survivor samples.
+
+    Implements TensoRFConfig.density_batch_budget: first-M gate-passing
+    samples in sample-major order (jnp.nonzero with a static size), one
+    [M, 3] coordinate gather, the density factors at M samples instead of
+    N*S, and a drop-mode scatter back to the [N, S] sigma layout. Dropped
+    samples (beyond the budget) and gate-failing samples carry sigma
+    feature = -inf -> density 0 after feature2density's softplus shift
+    (matching the full path where sigma is where(valid, ..., 0)).
+
+    Returns sigma [N, S] (post feature2density, gated).
+    """
+    N, S = valid.shape
+    M = cfg.density_batch_budget
+    flat = valid.T.reshape(-1)                       # sample-major [S*N]
+    (idx,) = jnp.nonzero(flat, size=M, fill_value=0)
+    keep = jnp.arange(M, dtype=jnp.int32) < flat.sum()
+    xyz_sm = jnp.swapaxes(xyz, 0, 1).reshape(S * N, 3)
+    feat = compute_density_feature(cfg, params, xyz_sm[idx])
+    sig = jnp.where(keep, feature2density(cfg, feat), 0.0)
+    out = jnp.zeros((S * N,), sig.dtype)
+    out = out.at[jnp.where(keep, idx, S * N)].set(sig, mode="drop")
+    return out.reshape(S, N).T
+
+
 class TensoRFOut(NamedTuple):
     rgb_map: jnp.ndarray
     depth_map: jnp.ndarray
@@ -497,10 +536,15 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
         valid = jnp.logical_and(valid, occ)
 
     xyz = normalize_coord(buffers["aabb"], pts)
-    valid, xyz, z_vals, dists = compact_density_samples(
-        cfg, buffers, valid, xyz, z_vals, dists)
-    sigma_feat = compute_density_feature(cfg, params, xyz)
-    sigma = jnp.where(valid, feature2density(cfg, sigma_feat), 0.0)
+    use_batch_budget = (cfg.density_batch_budget
+                        and buffers.get("alpha_volume") is not None)
+    if use_batch_budget:
+        sigma = density_via_batch_compaction(cfg, params, valid, xyz)
+    else:
+        valid, xyz, z_vals, dists = compact_density_samples(
+            cfg, buffers, valid, xyz, z_vals, dists)
+        sigma_feat = compute_density_feature(cfg, params, xyz)
+        sigma = jnp.where(valid, feature2density(cfg, sigma_feat), 0.0)
 
     alpha, weight, bg_weight = raw2alpha(sigma, dists * cfg.distance_scale)
     app_mask = weight > cfg.ray_march_weight_thres

@@ -51,10 +51,12 @@ def rays_batch(key, n):
     return jnp.concatenate([o, d], -1)
 
 
-def make_trainer(batch=4096, density_budget=256, app_budget=96):
+def make_trainer(batch=4096, density_budget=256, app_budget=96,
+                 batch_budget=0):
     mcfg = tf.TensoRFConfig(decomp="vm_split", step_ratio=0.5,
                             density_sample_budget=density_budget,
-                            app_sample_budget=app_budget)
+                            app_sample_budget=app_budget,
+                            density_batch_budget=batch_budget)
     cfg = tt.TensoRFTrainConfig(n_voxel_init=300 ** 3, batch_size=batch,
                                 tv_weight_density=0.3, tv_weight_app=0.3,
                                 l1_weight_initial=4e-5, l1_weight_rest=2e-5)
@@ -152,6 +154,16 @@ def rungs():
         trainer = make_trainer(density_budget=kd, app_budget=ka)
         dt = block_rate(trainer, 4096)
         emit(f"rung_d{kd}_a{ka}", ms_per_iter=round(dt * 1e3, 2),
+             iters_per_s=round(1.0 / dt, 1),
+             krays_s=round(4096 / dt / 1e3, 1))
+    # cross-ray batch compaction (density_batch_budget): avg samples/ray
+    # {112, 96, 80} x 4096 rays — exact while total survivors fit, vs the
+    # per-ray budget's whole-thick-ray truncation
+    for avg in (112, 96, 80):
+        trainer = make_trainer(density_budget=0, app_budget=96,
+                               batch_budget=avg * 4096)
+        dt = block_rate(trainer, 4096)
+        emit(f"rung_batchbudget_avg{avg}", ms_per_iter=round(dt * 1e3, 2),
              iters_per_s=round(1.0 / dt, 1),
              krays_s=round(4096 / dt / 1e3, 1))
 

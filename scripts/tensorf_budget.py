@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--density_budget", type=int, default=None,
                     help="override density_sample_budget (static ray_valid "
                          "compaction; 0 = exact full-sample path)")
+    ap.add_argument("--density_batch_budget", type=int, default=None,
+                    help="override density_batch_budget (cross-ray "
+                         "compaction: TOTAL survivor slots per batch, "
+                         "sample-major; exact while batch survivors fit)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -101,6 +105,8 @@ def main():
         a.pop("near_far", None)  # near/far take effect (build_configs prefers near_far)
     if args.density_budget is not None:
         a["density_sample_budget"] = args.density_budget
+    if args.density_batch_budget is not None:
+        a["density_batch_budget"] = args.density_batch_budget
     model_cfg, train_cfg = build_configs(a)
     aabb = np.asarray([[-1.2] * 3, [1.2] * 3], np.float32)
 

@@ -386,3 +386,100 @@ class TestRefTensoRF:
         for _ in range(4):
             p, s, l = step(p, s, rays[:64], rgbs[:64], jax.random.PRNGKey(3))
         assert np.isfinite(float(l))
+
+
+class TestDensityBatchBudget:
+    """density_batch_budget: the cross-ray static compaction (the closest
+    analog of the reference's flattened ray_valid indexing,
+    tensorBase.py:497-504). Exact when total batch survivors fit; overflow
+    drops deepest-RANK samples uniformly (sample-major packing), not whole
+    thick rays."""
+
+    def _setup(self):
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (16, 16, 16))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB,
+                                          (16, 16, 16))
+        buffers, _ = tf.update_alpha_mask(cfg, geom, params, buffers,
+                                          (16, 16, 16))
+        scene = make_scene(n_views=2, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)[:64]
+        return cfg, geom, params, buffers, rays
+
+    def _total_survivors(self, cfg, geom, buffers, rays, key):
+        pts, _, valid = tf.sample_ray(buffers["aabb"], rays[:, :3],
+                                      rays[:, 3:6], geom.step_size,
+                                      geom.n_samples, cfg.near_far, key)
+        occ = tf.alpha_mask_valid(buffers, pts)
+        return int(np.asarray(jnp.logical_and(valid, occ).sum()))
+
+    def test_exact_when_batch_budget_sufficient(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        tot = self._total_survivors(cfg, geom, buffers, rays, key)
+        assert tot > 0
+        out_full = tf.tensorf_forward(cfg, geom, params, buffers, rays,
+                                      key=key)
+        cfg_b = replace(cfg, density_batch_budget=tot + 8)
+        out_b = tf.tensorf_forward(cfg_b, geom, params, buffers, rays,
+                                   key=key)
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_full.rgb_map), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b.sigma),
+                                   np.asarray(out_full.sigma), atol=1e-5)
+
+    def test_grads_match_when_batch_budget_sufficient(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        tot = self._total_survivors(cfg, geom, buffers, rays, key)
+        target = jnp.ones((rays.shape[0], 3)) * 0.5
+
+        def loss(p, c):
+            out = tf.tensorf_forward(c, geom, p, buffers, rays, key=key)
+            return jnp.mean((out.rgb_map - target) ** 2)
+
+        g_full = jax.grad(loss)(params, cfg)
+        g_b = jax.grad(loss)(params, replace(cfg, density_batch_budget=tot + 8))
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_overflow_drops_deep_ranks_uniformly(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        tot = self._total_survivors(cfg, geom, buffers, rays, key)
+        half = max(1, tot // 2)
+        cfg_b = replace(cfg, density_batch_budget=half)
+        out = tf.tensorf_forward(cfg_b, geom, params, buffers, rays, key=key)
+        assert bool(jnp.isfinite(out.rgb_map).all())
+        # sample-major packing: every nonzero sigma must sit at a sample
+        # rank <= the rank where the budget ran out on the FULL gate
+        pts, _, valid = tf.sample_ray(buffers["aabb"], rays[:, :3],
+                                      rays[:, 3:6], geom.step_size,
+                                      geom.n_samples, cfg.near_far, key)
+        occ = tf.alpha_mask_valid(buffers, pts)
+        gate = np.asarray(jnp.logical_and(valid, occ))
+        per_rank = gate.sum(0)          # survivors per sample rank
+        cum = np.cumsum(per_rank)
+        cutoff_rank = int(np.searchsorted(cum, half))
+        sig = np.asarray(out.sigma)
+        nz_ranks = np.nonzero((sig > 0).any(0))[0]
+        assert nz_ranks.size == 0 or nz_ranks.max() <= cutoff_rank
+
+    def test_inactive_without_alpha_mask(self):
+        from dataclasses import replace
+        cfg, geom, params, buffers, rays = self._setup()
+        no_mask = {k: v for k, v in buffers.items()
+                   if not k.startswith("alpha_")}
+        no_mask["alpha_volume"] = None
+        key = jax.random.PRNGKey(3)
+        cfg_b = replace(cfg, density_batch_budget=4)
+        out_b = tf.tensorf_forward(cfg_b, geom, params, no_mask, rays,
+                                   key=key)
+        out_f = tf.tensorf_forward(cfg, geom, params, no_mask, rays, key=key)
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_f.rgb_map), atol=1e-6)
