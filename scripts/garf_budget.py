@@ -29,7 +29,7 @@ from myc_nerfs_tpu.geom import lie, pose as pose_lib
 from myc_nerfs_tpu.train import nerf_trainer as nt
 
 LOG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "quality_r4_log.jsonl")
+                   "quality_r5_log.jsonl")
 
 
 _FILE_LOG = [True]
@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--rand_rays", type=int, default=2048,
                     help="reference: Easyship.yaml:21")
     ap.add_argument("--samples", type=int, default=128)
+    ap.add_argument("--gate_frac", type=float, default=0.4,
+                    help="start_pose_correct_iter as a fraction of steps "
+                         "(0.4 = Easyship.yaml:60's 80k/200k; 0 = the "
+                         "reference's synthetic-noise protocol, no gate)")
     args = ap.parse_args()
     _FILE_LOG[0] = args.steps >= 1000
 
@@ -84,7 +88,7 @@ def main():
         rand_rays=args.rand_rays, sample_intvs=args.samples,
         max_iter=args.steps,
         # Easyship.yaml:60 — correction starts at iter 80k of 200k
-        start_pose_correct_iter=int(args.steps * 0.4))
+        start_pose_correct_iter=int(args.steps * args.gate_frac))
     model, state = nt.init_state(cfg, jax.random.PRNGKey(0),
                                  n_images=scene.images.shape[0])
     noisy = pose_lib.compose_pair(lie.se3_to_SE3(state.pose_noise),
@@ -112,6 +116,7 @@ def main():
     wall0 = time.perf_counter()
     next_log = (it // args.log_every + 1) * args.log_every
     i = it // 16
+    traj = []  # (step, rot_mean, rot_med, trans) for trailing-window stats
     while it < args.steps:
         state, m = block(state, jax.random.fold_in(key, i))
         it += 16
@@ -120,6 +125,7 @@ def main():
             p = float(m["psnr"])
             refined = nt.compose_refined_pose(cfg, state, scene.poses)
             r1, rmed, rmax, t1 = pose_error_full(refined, scene.poses)
+            traj.append((it, r1, rmed, t1))
             emit(event="garf_budget_log", step=it,
                  train_psnr=round(p, 2), rot_err_deg=round(r1, 3),
                  rot_err_med=round(rmed, 3), rot_err_max=round(rmax, 3),
@@ -134,11 +140,32 @@ def main():
                 save_checkpoint(args.ckpt, state, step=it)
     refined = nt.compose_refined_pose(cfg, state, scene.poses)
     r1, t1 = pose_error(refined, scene.poses)
-    emit(event="garf_budget_done", steps=args.steps,
+    # Trailing-window statistics (VERDICT r4 weak#5): the endpoint sample
+    # of a noisy trajectory is not evidence; aggregate the final quarter
+    # of the logged trajectory so the improvement claim is robust to
+    # where the run happens to stop.
+    tail = [row for row in traj if row[0] > 0.75 * args.steps]
+    trailing = {}
+    if tail:
+        import numpy as _np
+
+        rm = _np.array([row[1] for row in tail])
+        rmed_t = _np.array([row[2] for row in tail])
+        tm = _np.array([row[3] for row in tail])
+        trailing = dict(
+            trailing_window_steps=[tail[0][0], tail[-1][0]],
+            trailing_rot_mean=round(float(rm.mean()), 3),
+            trailing_rot_mean_range=[round(float(rm.min()), 3),
+                                     round(float(rm.max()), 3)],
+            trailing_rot_med_mean=round(float(rmed_t.mean()), 3),
+            trailing_trans_mean=round(float(tm.mean()), 4),
+            trailing_improved=bool(rm.mean() < r0))
+    emit(event="garf_budget_done", steps=args.steps, views=args.views,
+         gate_frac=args.gate_frac,
          rot_err_deg_init=round(r0, 3), rot_err_deg_final=round(r1, 3),
          trans_err_init=round(t0_err, 4), trans_err_final=round(t1, 4),
          improved=bool(r1 < r0),
-         wall_s=round(time.perf_counter() - wall0, 1))
+         wall_s=round(time.perf_counter() - wall0, 1), **trailing)
 
 
 if __name__ == "__main__":
