@@ -369,6 +369,14 @@ def main():
 
     res = measure_ngp_train("brick3")
     occ_cfg, occ_state = res["occ"]
+    # Phase-2 of the shipped staged march budget (n_compact 20 until
+    # decay_start=20000, 32 after — run_net's aabb_scale<=1 default since
+    # round 5). The headline reports the BUDGET-WEIGHTED average over the
+    # reference's 40k schedule: what a user actually pays end-to-end at
+    # full quality parity (40k val 33.30 vs 33.17 for flat-32 and 32.89
+    # for flat-20, quality_r5_log ngp40k_budget_nc_schedule). The flat
+    # nc=20 steady rate stays in detail as phase-1.
+    res32 = measure_ngp_train("brick3", n_compact=32)
     # render profile (round 4, scripts/probe_r4_render.py --eps): K=20
     # samples with a 1e-2 render-time transmittance cutoff keeps dt fine
     # over the shortened live arc — val PSNR within 0.02 dB of the K=32
@@ -411,7 +419,13 @@ def main():
         tres = {"rays_per_s": None, "iters_per_s": None,
                 "error": str(e)[:200]}
 
-    train_rate = res["train_rays_per_s"]
+    # budget-weighted average over the reference 40k schedule: 20k steps in
+    # each phase of the staged march budget (20 -> 32 at decay_start)
+    half = 20000
+    t1 = half / res["iters_per_s"]
+    t2 = half / res32["iters_per_s"]
+    train_rate = (half * res["rays_per_batch"] + half * res32["rays_per_batch"]) \
+        / (t1 + t2)
     print(json.dumps({
         "metric": "ngp_hash_train_throughput",
         "value": round(train_rate, 1),
@@ -420,11 +434,22 @@ def main():
         "detail": {
             "headline": "Instant-NGP L16F2 (level-tripled brick) full train step: "
                         "march+encode+MLP+composite+Huber+Adam+EMA+grid "
-                        "updates, ray batch adapted to 2^18 samples, "
-                        "n_compact=20 march budget (quality-gated vs 32 at "
-                        "6k steps AND the 40k reference budget)",
-            "n_compact": 20,
-            "iters_per_s": round(res["iters_per_s"], 2),
+                        "updates, ray batch adapted to 2^18 samples, STAGED "
+                        "march budget n_compact 20->32 at decay_start (the "
+                        "shipped default; 40k-horizon val 33.30 vs 33.17 "
+                        "flat-32 / 32.89 flat-20 — full quality parity). "
+                        "Value = budget-weighted average of both phases "
+                        "over the reference 40k schedule; phase rates in "
+                        "detail.",
+            "n_compact_schedule": "0:20,20000:32",
+            "phase1_nc20_rays_per_s": round(
+                res["train_rays_per_s"], 1),
+            "phase1_iters_per_s": round(res["iters_per_s"], 2),
+            "phase2_nc32_rays_per_s": round(
+                res32["train_rays_per_s"], 1),
+            "phase2_iters_per_s": round(res32["iters_per_s"], 2),
+            "iters_per_s": round(
+                2 * half / (t1 + t2), 2),
             "rays_per_batch_adapted": res["rays_per_batch"],
             "ngp_hash_render_rays_per_s": round(ngp_render_rate, 1),
             "ngp_hash_render_vs_baseline": round(

@@ -99,7 +99,21 @@ def build_trainer(cfg, key, camera_c2w=None, focal=None, image_wh=None):
         # + the step skip. Config keys `skip_nonfinite`/`fp16_grads`
         # override individually.
         skip_nonfinite=cfg.get("skip_nonfinite", bool(cfg.get("fp16", False))),
-        fp16_grads=cfg.get("fp16_grads", bool(cfg.get("fp16", False))))
+        fp16_grads=cfg.get("fp16_grads", bool(cfg.get("fp16", False))),
+        # staged march budget (default at aabb_scale<=1): n_compact=20
+        # until decay_start, 32 after. Gated at the 40k reference horizon
+        # (quality_r5_log ngp40k_budget_nc_schedule: val 33.30 vs 33.17 for
+        # flat 32 and 32.89 for flat 20) — the schedule recovers the flat-20
+        # profile's late-training deficit because the sample-budget floor
+        # only binds once the field sharpens (PERF_NOTES par.18d mechanism).
+        # An explicit `n_compact` or `n_compact_schedule` in the config
+        # wins; cascaded scenes keep their flat 64.
+        n_compact_schedule=cfg.get(
+            "n_compact_schedule",
+            (((0, 20), (exp["decay_start"], 32))
+             if ("n_compact" not in cfg and aabb_scale <= 1
+                 and cfg.get("tot_train_steps", 40000) > exp["decay_start"])
+             else None)))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, key, camera_c2w=camera_c2w,
                          focal=focal, image_wh=image_wh, loss_fn=loss_fn,
                          model=model)

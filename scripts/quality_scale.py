@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--n_compact", type=int, default=20,
                     help="live samples per ray (20 = shipped quality-gated "
                          "default; larger for aabb_scale>1 evidence runs)")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 params/activations for the flagship (probe: "
+                         "is bf16's 7-bit mantissa the lr 1e-2 mechanism?)")
     ap.add_argument("--fp16_grads", action="store_true",
                     help="emulate the reference's fp16 backward numerics "
                          "(grads scaled, cast through float16, unscaled) + "
@@ -176,7 +179,8 @@ def main():
         from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
                                                    OriginNeRFModel)
 
-        model = OriginNeRFModel(OriginNeRFConfig(skips=(), use_bf16=True))
+        model = OriginNeRFModel(OriginNeRFConfig(skips=(),
+                                                 use_bf16=not args.f32))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0),
                          model=model)
 
