@@ -93,11 +93,12 @@ def main():
     assert np.isfinite(loss)
 
     # second gate: the RENDER program at the same full shape, at the
-    # SHIPPED render profile (K=20, eps=1e-2 — PERF_NOTES §9b), rays DP
+    # SHIPPED render profile (K=18, eps=4.5e-3 — re-gated on the 40k ckpt,
+    # PERF_NOTES par.26; supersedes the round-4 K=20/1e-2), rays DP
     # over "data" with the GroupTP tables still sharded over "model".
     # This is the program the >=2 Mrays/s multi-chip projection runs.
-    rcfg_render = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=20,
-                                  early_stop_eps=1e-2)
+    rcfg_render = NGPRenderConfig(aabb_scale=1, n_coarse=128, n_samples=18,
+                                  early_stop_eps=4.5e-3)
     t2 = time.perf_counter()
     out = spmd.multichip_ngp_render(
         mesh, trainer.occ_cfg, rcfg_render, trainer.model.apply,
@@ -106,7 +107,7 @@ def main():
     rgb = np.asarray(out.rgb)
     print(json.dumps({
         "event": "render_done", "rays": int(rgb.shape[0]),
-        "n_coarse": 128, "K": 20, "early_stop_eps": 1e-2,
+        "n_coarse": 128, "K": 18, "early_stop_eps": 4.5e-3,
         "rgb_finite": bool(np.isfinite(rgb).all()),
         "compile_plus_run_s": round(time.perf_counter() - t2, 1)}),
         flush=True)
