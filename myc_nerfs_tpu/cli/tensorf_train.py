@@ -34,8 +34,9 @@ _KNOWN_KEYS = frozenset((
     "basedir", "batch_size", "bbox", "bg_D", "bg_freq", "bg_samples",
     "bg_view_freq", "data_dim_color", "datadir", "density_shift",
     "distance_scale", "downsample_test", "downsample_train", "expname",
-    "density_batch_budget",
-    "density_sample_budget", "far", "fea2denseAct", "fea_pe", "featureC",
+    "app_sample_budget", "density_batch_budget",
+    "density_sample_budget", "factor_gather_bf16",
+    "far", "fea2denseAct", "fea_pe", "featureC",
     "global_step", "grid_size",
     "has_opt_state", "lr_basis", "lr_decay_iters", "lr_decay_target_ratio",
     "lr_init", "lr_scale", "lr_upsample_reset", "model_name", "nSamples",
@@ -87,6 +88,8 @@ def build_configs(a: dict):
         step_ratio=a.get("step_ratio", 0.5),
         density_sample_budget=a.get("density_sample_budget", 256),
         density_batch_budget=a.get("density_batch_budget", 0),
+        factor_gather_bf16=a.get("factor_gather_bf16", False),
+        app_sample_budget=a.get("app_sample_budget", 96),
         fea2dense=a.get("fea2denseAct", "softplus"),
         near_far=tuple(a.get("near_far", [a.get("near", 2.0), a.get("far", 6.0)])))
     train_cfg = tt.TensoRFTrainConfig(

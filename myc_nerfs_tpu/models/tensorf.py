@@ -79,6 +79,17 @@ class TensoRFConfig:
     # total batch survivors <= budget. 0 = off. Mutually exclusive with
     # density_sample_budget; gated like it on the alpha mask existing.
     density_batch_budget: int = 0
+    # Cast the factor tensors (planes + lines) to bf16 for the per-sample
+    # gathers only. The r5 stage decomposition (probe_r5_tensorf `stages`)
+    # puts the app stage at the wide-row gather bandwidth wall (~27 GB/s,
+    # 768 B packed plane rows, PERF_NOTES par.7 cost model); halving the
+    # row bytes halves both the forward gather and its scatter-add
+    # transpose. Master params, Adam moments, and the dense pack stay f32
+    # (grads accumulate through the cast's f32 transpose) — only the
+    # gathered VALUES are rounded to bf16 (~3 decimal digits), which is
+    # below the factor tensors' own TV-regularised noise floor. Gated at
+    # the Coffee 30k horizon like every throughput knob.
+    factor_gather_bf16: bool = False
     # static-shape resolution of the reference's ray_valid boolean indexing
     # (tensorBase.py:497-504): density factors are only evaluated at samples
     # that pass the AABB clip + alpha-mask gates, compacted to at most this
@@ -268,6 +279,17 @@ def _line_sample(line: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return rows[..., :C] * (1 - w) + rows[..., C:] * w
 
 
+def _gather_cast(cfg: TensoRFConfig, table: jnp.ndarray) -> jnp.ndarray:
+    """bf16 view of a factor tensor for the per-sample gather when
+    cfg.factor_gather_bf16 (halves gather/scatter row bytes at the
+    bandwidth wall); the lerp upcasts back to f32 against the f32
+    weights, and the cast's transpose accumulates grads into the f32
+    master param."""
+    if cfg.factor_gather_bf16:
+        return table.astype(jnp.bfloat16)
+    return table
+
+
 def compute_density_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp.ndarray:
     """Density factor feature at normalised coords xyz [..., 3] in [-1, 1].
 
@@ -278,10 +300,14 @@ def compute_density_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp
         total = 0.0
         for i in range(3):
             m0, m1 = MAT_MODE[i]
-            plane_feat = grid_sample_2d(params["density_plane"][i],
-                                        jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
-            line_feat = _line_sample(params["density_line"][i], xyz[..., VEC_MODE[i]])
-            total = total + (plane_feat * line_feat).sum(-1)
+            plane_feat = grid_sample_2d(
+                _gather_cast(cfg, params["density_plane"][i]),
+                jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
+            line_feat = _line_sample(
+                _gather_cast(cfg, params["density_line"][i]),
+                xyz[..., VEC_MODE[i]])
+            total = total + (plane_feat * line_feat
+                             ).astype(jnp.float32).sum(-1)
         return total
     if cfg.decomp == "vm":
         D = cfg.density_n_comp[0]
@@ -305,10 +331,13 @@ def compute_app_feature(cfg: TensoRFConfig, params, xyz: jnp.ndarray) -> jnp.nda
         feats = []
         for i in range(3):
             m0, m1 = MAT_MODE[i]
-            plane_feat = grid_sample_2d(params["app_plane"][i],
-                                        jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
-            line_feat = _line_sample(params["app_line"][i], xyz[..., VEC_MODE[i]])
-            feats.append(plane_feat * line_feat)
+            plane_feat = grid_sample_2d(
+                _gather_cast(cfg, params["app_plane"][i]),
+                jnp.stack([xyz[..., m0], xyz[..., m1]], -1))
+            line_feat = _line_sample(
+                _gather_cast(cfg, params["app_line"][i]),
+                xyz[..., VEC_MODE[i]])
+            feats.append((plane_feat * line_feat).astype(jnp.float32))
         feat = jnp.concatenate(feats, axis=-1)
     elif cfg.decomp == "vm":
         A = cfg.app_n_comp[0]

@@ -52,11 +52,12 @@ def rays_batch(key, n):
 
 
 def make_trainer(batch=4096, density_budget=256, app_budget=96,
-                 batch_budget=0):
+                 batch_budget=0, bf16=False):
     mcfg = tf.TensoRFConfig(decomp="vm_split", step_ratio=0.5,
                             density_sample_budget=density_budget,
                             app_sample_budget=app_budget,
-                            density_batch_budget=batch_budget)
+                            density_batch_budget=batch_budget,
+                            factor_gather_bf16=bf16)
     cfg = tt.TensoRFTrainConfig(n_voxel_init=300 ** 3, batch_size=batch,
                                 tv_weight_density=0.3, tv_weight_app=0.3,
                                 l1_weight_initial=4e-5, l1_weight_rest=2e-5)
@@ -168,6 +169,23 @@ def rungs():
              krays_s=round(4096 / dt / 1e3, 1))
 
 
+def bf16_rungs():
+    """bf16 factor gathers alone and combined with the budget rungs."""
+    combos = [
+        ("bf16_d256_a96", dict(bf16=True)),
+        ("bf16_d192_a64", dict(bf16=True, density_budget=192, app_budget=64)),
+        ("bf16_d128_a96", dict(bf16=True, density_budget=128)),
+        ("bf16_batchavg96_a64", dict(bf16=True, density_budget=0,
+                                     app_budget=64, batch_budget=96 * 4096)),
+    ]
+    for tag, kw in combos:
+        trainer = make_trainer(**kw)
+        dt = block_rate(trainer, 4096)
+        emit(f"rung_{tag}", ms_per_iter=round(dt * 1e3, 2),
+             iters_per_s=round(1.0 / dt, 1),
+             krays_s=round(4096 / dt / 1e3, 1))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("stages", "all"):
@@ -176,3 +194,5 @@ if __name__ == "__main__":
         layout()
     if which in ("rungs", "all"):
         rungs()
+    if which in ("bf16", "all"):
+        bf16_rungs()

@@ -86,6 +86,11 @@ def main():
                     help="override density_batch_budget (cross-ray "
                          "compaction: TOTAL survivor slots per batch, "
                          "sample-major; exact while batch survivors fit)")
+    ap.add_argument("--factor_bf16", action="store_true",
+                    help="bf16 factor-tensor gathers (half row bytes at "
+                         "the gather bandwidth wall; f32 master params)")
+    ap.add_argument("--app_budget", type=int, default=None,
+                    help="override app_sample_budget")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -107,6 +112,10 @@ def main():
         a["density_sample_budget"] = args.density_budget
     if args.density_batch_budget is not None:
         a["density_batch_budget"] = args.density_batch_budget
+    if args.factor_bf16:
+        a["factor_gather_bf16"] = True
+    if args.app_budget is not None:
+        a["app_sample_budget"] = args.app_budget
     model_cfg, train_cfg = build_configs(a)
     aabb = np.asarray([[-1.2] * 3, [1.2] * 3], np.float32)
 

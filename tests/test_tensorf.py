@@ -483,3 +483,45 @@ class TestDensityBatchBudget:
         out_f = tf.tensorf_forward(cfg, geom, params, no_mask, rays, key=key)
         np.testing.assert_allclose(np.asarray(out_b.rgb_map),
                                    np.asarray(out_f.rgb_map), atol=1e-6)
+
+
+class TestFactorGatherBf16:
+    """factor_gather_bf16: bf16 factor-tensor gathers (half row bytes at
+    the gather bandwidth wall, PERF_NOTES r5) with f32 master params —
+    forward within bf16 rounding of the f32 path, grads land on the f32
+    master leaves."""
+
+    def _setup(self):
+        from dataclasses import replace
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (16, 16, 16))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB,
+                                          (16, 16, 16))
+        scene = make_scene(n_views=2, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)[:64]
+        return cfg, replace(cfg, factor_gather_bf16=True), geom, params, \
+            buffers, rays
+
+    def test_forward_close_to_f32(self):
+        cfg, cfg_b, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        out_f = tf.tensorf_forward(cfg, geom, params, buffers, rays, key=key)
+        out_b = tf.tensorf_forward(cfg_b, geom, params, buffers, rays, key=key)
+        # bf16 has ~3 significant decimal digits; rgb is in [0, 1]
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_f.rgb_map), atol=2e-2)
+        assert out_b.rgb_map.dtype == jnp.float32
+
+    def test_grads_flow_to_f32_master(self):
+        cfg, cfg_b, geom, params, buffers, rays = self._setup()
+        key = jax.random.PRNGKey(3)
+        target = jnp.ones((rays.shape[0], 3)) * 0.5
+
+        def loss(p):
+            out = tf.tensorf_forward(cfg_b, geom, p, buffers, rays, key=key)
+            return jnp.mean((out.rgb_map - target) ** 2)
+
+        g = jax.grad(loss)(params)
+        gp = g["density_plane"][0]
+        assert gp.dtype == params["density_plane"][0].dtype  # f32 master
+        assert float(jnp.abs(gp).sum()) > 0
