@@ -94,6 +94,17 @@ class OriginNeRFConfig:
     # one extra forward for not storing 8x256 activations per sample —
     # lifts the K=64 HBM OOM on the flagship train path (VERDICT r2 #5)
     remat: bool = False
+    # fp16 FORWARD overflow parity: the reference runs this network at amp
+    # level 5 (ori_nerf_network.py:33), where exp(raw density) overflows to
+    # inf for raw > log(65504) ~ 11.09, poisoning the loss to nan — and its
+    # GradScaler REJECTS that step. The round-4 overflow clamp
+    # (density_activation: exp(min(raw, 30))) keeps such steps finite here,
+    # which lets lr 1e-2's early violent steps LAND and drive the field
+    # into the opaque-wall attractor (mean_density -> ~7e9,
+    # quality_r5_log lr2_mechanism). With this flag, raw density above the
+    # fp16 overflow threshold becomes nan so skip_nonfinite rejects the
+    # step exactly where the reference's fp16 pipeline would.
+    fp16_overflow_parity: bool = False
 
 
 class OriginNeRFModel:
@@ -129,8 +140,20 @@ class OriginNeRFModel:
             run = jax.checkpoint(run)
         if fused:
             # the Pallas kernel does its own row tiling and wants [M, C]
-            return run(params, positions, dirs)
-        return self._tiled(lambda x, d: run(params, x, d), positions, dirs, 4)
+            out = run(params, positions, dirs)
+        else:
+            out = self._tiled(lambda x, d: run(params, x, d), positions,
+                              dirs, 4)
+        return self._fp16_overflow(out)
+
+    def _fp16_overflow(self, out: jnp.ndarray) -> jnp.ndarray:
+        """cfg.fp16_overflow_parity: raw density past the fp16 exp-overflow
+        threshold poisons the output to nan (the reference's fp16 forward
+        would produce inf there -> nan loss -> GradScaler step skip)."""
+        if not self.cfg.fp16_overflow_parity:
+            return out
+        bad = out[..., -1:] > 11.09  # exp(x) > 65504 (fp16 max)
+        return jnp.where(bad, jnp.nan, out)
 
     def _tiled(self, fn, positions, dirs, out_width: int) -> jnp.ndarray:
         """Run fn on a [MLP_TILE, m, 3] reshape of the flattened samples."""

@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--n_compact", type=int, default=20,
                     help="live samples per ray (20 = shipped quality-gated "
                          "default; larger for aabb_scale>1 evidence runs)")
+    ap.add_argument("--fp16_forward", action="store_true",
+                    help="fp16 FORWARD overflow parity for the flagship "
+                         "(raw density > 11.09 poisons the step to nan; "
+                         "with --fp16_grads' skip the step is rejected — "
+                         "the reference's amp-level-5 mechanism)")
     ap.add_argument("--f32", action="store_true",
                     help="f32 params/activations for the flagship (probe: "
                          "is bf16's 7-bit mantissa the lr 1e-2 mechanism?)")
@@ -171,7 +176,7 @@ def main():
                           tot_train_steps=args.steps,
                           n_compact_schedule=nc_sched,
                           fp16_grads=args.fp16_grads,
-                          skip_nonfinite=args.fp16_grads,
+                          skip_nonfinite=args.fp16_grads or args.fp16_forward,
                           clip_grad_norm=args.clip_gn)
     model = None
     if args.variant == "flagship":
@@ -179,8 +184,9 @@ def main():
         from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
                                                    OriginNeRFModel)
 
-        model = OriginNeRFModel(OriginNeRFConfig(skips=(),
-                                                 use_bf16=not args.f32))
+        model = OriginNeRFModel(OriginNeRFConfig(
+            skips=(), use_bf16=not args.f32,
+            fp16_overflow_parity=args.fp16_forward))
     trainer = NGPTrainer(mcfg, rcfg, tcfg, jax.random.PRNGKey(0),
                          model=model)
 

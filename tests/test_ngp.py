@@ -1024,3 +1024,39 @@ class TestFp16GradEmulation:
         # both clip to the same unit direction -> identical Adam updates
         np.testing.assert_allclose(np.asarray(s_h.params["w"]),
                                    np.asarray(s_s.params["w"]), rtol=1e-5)
+
+
+class TestFp16OverflowParity:
+    """OriginNeRFConfig.fp16_overflow_parity: raw density above the fp16
+    exp-overflow threshold (log 65504 ~ 11.09) poisons the model output to
+    nan — the reference's amp-level-5 forward behavior whose GradScaler
+    step-skip is the load-bearing lr 1e-2 mechanism (quality_r5_log
+    lr2_mechanism: without it the clamp-finite steps land and drive the
+    field into the opaque-wall attractor)."""
+
+    def _model(self, parity):
+        from myc_nerfs_tpu.models.ori_nerf import (OriginNeRFConfig,
+                                                   OriginNeRFModel)
+
+        return OriginNeRFModel(OriginNeRFConfig(
+            D=2, W=32, skips=(), fp16_overflow_parity=parity))
+
+    def test_normal_range_untouched(self):
+        m = self._model(True)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        out = m.apply(p, x, x)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_overflow_poisons_sample(self):
+        m = self._model(True)
+        p = m.init(jax.random.PRNGKey(0))
+        # force a huge raw density by inflating the alpha head bias
+        p["mlp"]["params"]["alpha"]["bias"] = jnp.full((1,), 50.0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3))
+        out = np.asarray(m.apply(p, x, x))
+        assert np.isnan(out).all()  # whole sample row poisoned
+        # without parity the clamp keeps it finite (the r4 behavior)
+        m2 = self._model(False)
+        out2 = np.asarray(m2.apply(p, x, x))
+        assert np.isfinite(out2[..., 3]).all()
