@@ -66,20 +66,19 @@ def build_origin_nerf_networks(grid=None, dir_encoder=None,
     nerf_base.py:15-17). ``grid``/``dir_encoder`` are the built pos/dir
     FrequencyEncoder configs ({'multires': L} dicts).
 
-    fp16=True additionally enables fp16 FORWARD overflow parity: the
-    reference's amp-level-5 forward overflows exp(raw density) to inf for
-    raw > ~11.09 and the GradScaler rejects that step — the load-bearing
-    mechanism for the reference's lr 1e-2 configs (quality_r5_log
-    lr2_mechanism: without it the field falls into an opaque-wall
-    attractor, mean_density ~7e9)."""
+    (The r5 fp16-forward-overflow hypothesis for the lr 1e-2 divergence
+    was probed and FALSIFIED — the reference's kernels compute the density
+    exp in f32 (ray_sampler_header.h network_to_density: __expf) with the
+    same +-15 derivative clamp we ship, so there is no forward overflow to
+    emulate; OriginNeRFConfig.fp16_overflow_parity stays opt-in as a probe
+    knob only. See PERF_NOTES r5 lr2 closure.)"""
     from ..models.ori_nerf import OriginNeRFConfig
 
     multires_pos = grid.get("multires", 10) if isinstance(grid, dict) else 10
     multires_dir = (dir_encoder or {}).get("multires", 4)
     return OriginNeRFConfig(D=D, W=W, skips=tuple(skips),
                             multires_pos=multires_pos,
-                            multires_dir=multires_dir, use_bf16=use_bf16,
-                            fp16_overflow_parity=use_bf16)
+                            multires_dir=multires_dir, use_bf16=use_bf16)
 
 
 @SAMPLERS.register_module("DensityGridSampler")

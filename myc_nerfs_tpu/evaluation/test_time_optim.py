@@ -50,7 +50,7 @@ def test_time_pose_optim(
     grad_fn = jax.value_and_grad(loss_fn)
 
     def cond(carry):
-        se3, opt_state, it, min_l, min_one, loss, key = carry
+        se3, best, best_l, opt_state, it, min_l, min_one, loss, key = carry
         not_done = it < max_iter
         not_converged = loss >= stop_loss
         not_plateau = jnp.logical_or(it <= plateau_after, it <= min_one + patience)
@@ -58,20 +58,33 @@ def test_time_pose_optim(
         return jnp.logical_or(first, not_done & not_converged & not_plateau)
 
     def body(carry):
-        se3, opt_state, it, min_l, min_one, loss, key = carry
+        se3, best, best_l, opt_state, it, min_l, min_one, loss, key = carry
         key, k = jax.random.split(key)
         loss, g = grad_fn(se3, k)
-        updates, opt_state = tx.update(g, opt_state, se3)
-        se3 = optax.apply_updates(se3, updates)
+        # best-seen se3 is recorded BEFORE the update: if the start pose is
+        # already converged (loss < stop_loss — e.g. a GT-pose sanity leg),
+        # the returned correction must not carry the one Adam step the loop
+        # takes before the stop condition is evaluated. The reference keeps
+        # its final pose (garf.py:232-269) but never starts converged;
+        # best-tracking is identical in that regime and strictly safer.
+        # (strict compare here; the plateau tracker below keeps the
+        # reference's improve_eps threshold)
+        is_best = loss < best_l
+        best = jnp.where(is_best, se3, best)
+        best_l = jnp.where(is_best, loss, best_l)
         improved = loss < min_l - improve_eps
         min_one = jnp.where(improved, it, min_one)
         min_l = jnp.where(improved, loss, min_l)
-        return (se3, opt_state, it + 1, min_l, min_one, loss, key)
+        updates, opt_state = tx.update(g, opt_state, se3)
+        se3 = optax.apply_updates(se3, updates)
+        return (se3, best, best_l, opt_state, it + 1, min_l, min_one, loss,
+                key)
 
-    init = (se3, opt_state, jnp.zeros((), jnp.int32), jnp.float32(100.0),
+    init = (se3, se3, jnp.float32(jnp.inf), opt_state,
+            jnp.zeros((), jnp.int32), jnp.float32(100.0),
             jnp.zeros((), jnp.int32), jnp.float32(100.0), key)
-    se3, _, it, _, _, loss, _ = jax.lax.while_loop(cond, body, init)
-    return TTOptResult(se3=se3, loss=loss, n_iters=it)
+    _, best, best_l, _, it, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return TTOptResult(se3=best, loss=best_l, n_iters=it)
 
 
 def make_ngp_pose_loss(occ_cfg, rcfg, model_apply, params, occ_state,

@@ -96,6 +96,8 @@ class NGPTrainConfig:
     # optional global-norm clip (0 = off; diagnostic/stability knob —
     # the reference has no explicit clip, its fp16 range IS the clip)
     clip_grad_norm: float = 0.0
+    # optional linear lr warmup (0 = off; diagnostic — no reference analog)
+    warmup_steps: int = 0
     # Staged march budget: ((from_step, n_compact), ...) sorted ascending.
     # The reference's CUDA marcher compacts losslessly (truncates only at
     # T<1e-4, compacted_coord.h:37-77) so its sample budget is implicitly
@@ -126,10 +128,16 @@ class NGPTrainState(NamedTuple):
 
 
 def make_lr_schedule(cfg: NGPTrainConfig):
-    """ExpDecay (expdecay.py:20-26): factor *= base at start + k*interval."""
+    """ExpDecay (expdecay.py:20-26): factor *= base at start + k*interval.
+    Optional linear warmup over cfg.warmup_steps (no reference analog —
+    a diagnostic/stability knob for high-lr configs, see the lr 1e-2
+    attractor analysis in PERF_NOTES r5)."""
     def sched(step):
         n = jnp.maximum(0, (step - cfg.decay_start) // cfg.decay_interval + 1)
-        return cfg.lr * cfg.decay_base ** n
+        lr = cfg.lr * cfg.decay_base ** n
+        if cfg.warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1) / cfg.warmup_steps)
+        return lr
     return sched
 
 

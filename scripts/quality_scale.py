@@ -81,6 +81,8 @@ def main():
                          "probe (VERDICT r4 weak#4)")
     ap.add_argument("--clip_gn", type=float, default=0.0,
                     help="global-norm grad clip (0 = off; diagnostic)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps (0 = off; diagnostic)")
     ap.add_argument("--nc_schedule", default="",
                     help="staged march budget, e.g. '0:20,20000:32' — "
                          "n_compact switches at each from_step boundary "
@@ -177,7 +179,8 @@ def main():
                           n_compact_schedule=nc_sched,
                           fp16_grads=args.fp16_grads,
                           skip_nonfinite=args.fp16_grads or args.fp16_forward,
-                          clip_grad_norm=args.clip_gn)
+                          clip_grad_norm=args.clip_gn,
+                          warmup_steps=args.warmup)
     model = None
     if args.variant == "flagship":
         # the zero-gather MXU field behind the same marcher (bench flagship)

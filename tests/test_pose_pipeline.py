@@ -216,3 +216,21 @@ class TestNGPPoseLoss:
         bad = jnp.array([[0.3, 0.3, 0.3, 0.3, 0.3, 0.3]])
         l_bad = loss_fn(bad, k)
         assert float(l_bad) > float(l0)
+
+
+class TestTTOptimConvergedStart:
+    def test_converged_start_returns_identity(self):
+        """A start pose already below stop_loss must come back unmoved —
+        the returned correction is the BEST-seen se3, not the post-step
+        one (caught by the chain's GT sanity leg: one 3e-3 Adam step off
+        a perfect pose cost 2.7 dB)."""
+        target = jnp.zeros((1, 6))
+
+        def loss_fn(se3, key):
+            return ((se3 - target) ** 2).sum() + 1e-5  # converged at init
+
+        res = test_time_optim.test_time_pose_optim(
+            loss_fn, jax.random.PRNGKey(0), lr=3e-3, max_iter=100,
+            stop_loss=7e-4)
+        assert int(res.n_iters) == 1
+        np.testing.assert_allclose(np.asarray(res.se3), 0.0, atol=1e-12)
