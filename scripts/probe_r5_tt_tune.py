@@ -97,6 +97,15 @@ def main():
     emit(event="tt_tune_trained", steps=it,
          wall_s=round(time.perf_counter() - t0, 1))
 
+    # diagnostic: render from a TRAIN pose (the exact cameras the field was
+    # fit to). High PSNR here + low val PSNR = the val poses are in the
+    # wrong frame; low PSNR here = the field itself trained differently.
+    ti = train_ids[5]
+    img_t, _ = trainer.render_image(_field_c2w(poses_tr[5]),
+                                    scene.intr[ti], H, W, chunk=8192)
+    emit(event="tt_tune_trainpose_render",
+         psnr=round(float(psnr(jnp.clip(img_t, 0, 1), scene.images[ti])), 2))
+
     ps_plain = []
     for j, vi in enumerate(val_ids):
         img, _ = trainer.render_image(_field_c2w(jnp.asarray(val_poses[j])),
