@@ -137,6 +137,7 @@ def train_ngp(tag, poses_w2c, images, intr, scene, val_ids, steps, batch,
         ids = rng.integers(0, tr_o.shape[0], (S, batch))
         m = trainer.train_block(tr_o[ids], tr_d[ids], tr_rgb[ids], k2)
         it += S
+    float(m["psnr"])  # drain the async dispatch queue before reading wall
     wall = time.perf_counter() - t0
     if val_poses is None:
         val_poses = [scene.poses[vi] for vi in val_ids]

@@ -137,6 +137,9 @@ def main():
          upsamp=list(train_cfg.upsamp_list),
          alphamask=list(train_cfg.update_alphamask_list),
          density_budget=model_cfg.density_sample_budget,
+         density_batch_budget=model_cfg.density_batch_budget,
+         app_budget=model_cfg.app_sample_budget,
+         factor_bf16=model_cfg.factor_gather_bf16,
          geom_overrides=geom_overrides or None,
          scene_s=round(time.perf_counter() - t_scene, 1))
 
