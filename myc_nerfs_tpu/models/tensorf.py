@@ -565,8 +565,16 @@ def tensorf_forward(cfg: TensoRFConfig, geom: StageGeom, params, buffers,
         valid = jnp.logical_and(valid, occ)
 
     xyz = normalize_coord(buffers["aabb"], pts)
+    # TRAIN-only: the batch budget is sized in TOTAL survivor slots for the
+    # training ray batch (cfg docstring); eval renders arrive in whole-image
+    # chunks of a different (larger) ray count, where the same M would
+    # truncate wholesale — caught as a -10 dB val collapse with healthy
+    # train PSNR on the Coffee trajectory gate. ``key is None`` is the
+    # eval-path marker (deterministic unjittered sampling), so eval runs
+    # the per-ray/exact path like the reference's dynamic indexing.
     use_batch_budget = (cfg.density_batch_budget
-                        and buffers.get("alpha_volume") is not None)
+                        and buffers.get("alpha_volume") is not None
+                        and key is not None)
     if use_batch_budget:
         sigma = density_via_batch_compaction(cfg, params, valid, xyz)
     else:

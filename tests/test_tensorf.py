@@ -525,3 +525,28 @@ class TestFactorGatherBf16:
         gp = g["density_plane"][0]
         assert gp.dtype == params["density_plane"][0].dtype  # f32 master
         assert float(jnp.abs(gp).sum()) > 0
+
+
+class TestBatchBudgetEvalPath:
+    def test_inactive_at_eval_key_none(self):
+        """density_batch_budget is TRAIN-only: eval renders (key=None,
+        whole-image chunks of arbitrary ray count) must run the exact
+        path — the budget is sized for the train batch and would truncate
+        wholesale at other chunk shapes (caught as a -10 dB val collapse
+        with healthy train PSNR on the Coffee trajectory gate)."""
+        from dataclasses import replace
+        cfg = small_cfg()
+        geom = tf.compute_stage_geom(cfg, AABB, (16, 16, 16))
+        params, buffers = tf.init_tensorf(jax.random.PRNGKey(0), cfg, AABB,
+                                          (16, 16, 16))
+        buffers, _ = tf.update_alpha_mask(cfg, geom, params, buffers,
+                                          (16, 16, 16))
+        scene = make_scene(n_views=2, H=8, W=8)
+        rays = tt.build_ray_store(scene.poses, scene.intr, 8, 8)[:64]
+        cfg_b = replace(cfg, density_batch_budget=4)  # absurdly small
+        out_b = tf.tensorf_forward(cfg_b, geom, params, buffers, rays,
+                                   key=None)
+        out_f = tf.tensorf_forward(cfg, geom, params, buffers, rays,
+                                   key=None)
+        np.testing.assert_allclose(np.asarray(out_b.rgb_map),
+                                   np.asarray(out_f.rgb_map), atol=1e-6)
